@@ -1,0 +1,92 @@
+"""Typed configuration for the assembly engine.
+
+Replaces the reference's split between compile-time #defines
+(reference common.h:31-39, spaced_seed.cpp:35-39) and getopt CLI flags
+(spaced_seed.cpp:47-61) with one dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+class Constants:
+    """Hard limits mirroring reference common.h:31-39."""
+
+    #: max length of genome allowed (common.h:31)
+    MAX_SEQ_LEN = 800_000
+    #: max length of segment reads processed (common.h:33)
+    MAX_READ_LEN = 20_000
+    #: max difference (distance) allowed between overlapped reads (common.h:35)
+    MAX_DIFF_LEN = 6_000
+    #: max ratio of difference (common.h:37)
+    MAXR = 0.3
+    #: min length of aligned region to justify overlap (common.h:39)
+    OVERLAP_MIN = 64
+    #: reads shorter than this are ignored (spaced_seed.cpp:36)
+    SEQ_THRESHOLD = 500
+    #: seed (k-mer) width in bases (dna_seq.h:26)
+    SEED_LEN = 16
+    #: aligner template bound MAXN = MAX_READ_LEN + MAX_DIFF_LEN (seq_aligner.h:260)
+    ALIGNER_MAXN = MAX_READ_LEN + MAX_DIFF_LEN
+    #: aligner template bound MAXM = MAX_DIFF_LEN (seq_aligner.h:260)
+    ALIGNER_MAXM = MAX_DIFF_LEN
+    #: majority threshold used by evolve (ref_seq.h:326,335)
+    VOTE_RATIO = 0.5
+
+
+@dataclasses.dataclass
+class AssemblyConfig:
+    """One config object covering the reference CLI flags + #defines.
+
+    Flag mapping (reference spaced_seed.cpp:47-61):
+      -f file   -> initial_ref_path (text line + weight line)
+      -r ratio  -> ratio
+      -d file   -> dump_path
+      -m n      -> max_round
+      -t n      -> max_trial
+      -l        -> locked
+    """
+
+    # alignment
+    ratio: float = Constants.MAXR
+    overlap_min: int = Constants.OVERLAP_MIN
+    aligner_maxn: int = Constants.ALIGNER_MAXN
+    aligner_maxm: int = Constants.ALIGNER_MAXM
+
+    # read filtering (spaced_seed.cpp:334)
+    min_read_len: int = Constants.SEQ_THRESHOLD   # strict >
+    max_read_len: int = Constants.MAX_READ_LEN    # strict <
+
+    # round loop
+    max_round: Optional[int] = None               # None = unbounded (INT_MAX)
+    max_trial: int = 32                           # seeding trials per read
+    locked: bool = False                          # freeze reference (no vote/grow)
+    vote_ratio: float = Constants.VOTE_RATIO
+
+    # reference init
+    initial_ref_path: Optional[str] = None        # -f file (line1 seq, line2 weight)
+    rng_seed: Optional[int] = None                # None = nondeterministic like srand(time(0))
+
+    # pattern schedule: "random" mirrors the reference rand() pick
+    # (spaced_seed.cpp:412); "roundrobin" is the deterministic schedule used
+    # by the parity harness.
+    pattern_schedule: str = "random"
+
+    # engine: "exact" = sequential host engine (bit-parity with the C++
+    # semantics); "batch" = TPU batched screening with end-of-round commit.
+    engine: str = "exact"
+
+    # batch engine knobs
+    batch_size: int = 128            # alignments screened per device batch
+    bucket_max_candidates: int = 64  # max index hits expanded per (read, trial)
+
+    # observability
+    dump_path: Optional[str] = None
+    verbose: bool = True
+
+    # quirk compatibility with reference bugs (SURVEY.md §7 "hard parts"):
+    # seed_at() pos%4==0 fast path reads the wrong byte offset (dna_seq.h:64).
+    # True replicates the bug for bit-parity with the C++ binary.
+    quirk_seed_at: bool = False

@@ -1,0 +1,246 @@
+// pbcore — native host core for pacbioassembly_tpu.
+//
+// Provides the sequential-parity banded edit-distance aligner and the
+// binary record-file scanner, exposed through a C ABI consumed via ctypes
+// (native/pbcore.py). This is a ground-up implementation of the semantics
+// documented in SURVEY.md (reference: src/seq_aligner.h, src/spaced_seed.cpp);
+// the architecture is different from the reference: a heap-grown flat arena
+// instead of a ~1.25 GB statically-sized template matrix, iterative instead
+// of recursive traceback, and code arrays (0..3) instead of ASCII text.
+//
+// Build: make -C pacbioassembly_tpu/native (produces libpbcore.so).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr int32_t kInf = INT32_C(1) << 30;
+constexpr uint8_t kParNone = 0;
+constexpr uint8_t kParMatch = 1;
+constexpr uint8_t kParInsert = 2;
+constexpr uint8_t kParDelete = 3;
+
+// Reusable per-thread scratch so repeated align calls do not churn the heap.
+struct Arena {
+  std::vector<int32_t> row_prev;
+  std::vector<int32_t> row_cur;
+  std::vector<int32_t> col_costs;
+  std::vector<uint8_t> parents;  // (len_a+1) x stripe_width
+};
+
+thread_local Arena g_arena;
+
+struct BandParams {
+  int len_a;
+  int len_b;
+  int max_dst;
+  bool ok;
+};
+
+// Band geometry: longer side clamped to shorter + max_dst,
+// max_dst = 1 + floor(min_len * ratio).
+BandParams band_params(int la, int lb, double ratio, int maxn, int maxm) {
+  BandParams p;
+  if (lb >= la) {
+    p.len_a = la;
+    p.max_dst = 1 + static_cast<int>(la * ratio);
+    p.len_b = std::min(lb, p.len_a + p.max_dst);
+  } else {
+    p.len_b = lb;
+    p.max_dst = 1 + static_cast<int>(lb * ratio);
+    p.len_a = std::min(la, p.len_b + p.max_dst);
+  }
+  p.ok = !(p.len_a >= maxn + maxm || p.max_dst >= maxm);
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Banded edit-distance alignment of code arrays a (len la) and b (len lb).
+//
+// out_meta (int32[4]): {matlen_a, matlen_b, final_cost, nedit}.
+// out_ops/out_vals (uint8[out_cap]): edit stream transforming a into b;
+// vals carries the b-side code for MATCH/INSERT edits.
+//
+// Returns: 1 success, 0 alignment rejected, -1 edit buffer too small,
+// -2 allocation failure.
+int pb_align(const uint8_t* a, int la, const uint8_t* b, int lb,
+             double ratio, int maxn, int maxm,
+             int32_t* out_meta, uint8_t* out_ops, uint8_t* out_vals,
+             int64_t out_cap) {
+  if (la <= 0 || lb <= 0) return 0;
+  const BandParams p = band_params(la, lb, ratio, maxn, maxm);
+  if (!p.ok) return 0;
+  const int len_a = p.len_a, len_b = p.len_b, max_dst = p.max_dst;
+  const int stripe = 2 * max_dst + 1;
+
+  Arena& ar = g_arena;
+  try {
+    ar.row_prev.assign(stripe, kInf);
+    ar.row_cur.assign(stripe, kInf);
+    ar.col_costs.assign(len_a + 1, kInf);
+    ar.parents.assign(static_cast<size_t>(len_a + 1) * stripe, kParNone);
+  } catch (...) {
+    return -2;
+  }
+  int32_t* prev = ar.row_prev.data();
+  int32_t* cur = ar.row_cur.data();
+  uint8_t* parents = ar.parents.data();
+
+  // Row 0 borders: cost(0, j) = j, parent INSERT for j >= 1.
+  for (int k = max_dst; k < stripe; ++k) {
+    const int j = k - max_dst;
+    if (j > len_b) break;
+    prev[k] = j;
+    if (j >= 1) parents[k] = kParInsert;
+  }
+  if (len_b <= max_dst) ar.col_costs[0] = len_b;
+
+  for (int i = 1; i <= len_a; ++i) {
+    uint8_t* par_row = parents + static_cast<size_t>(i) * stripe;
+    const int a_code = a[i - 1];
+    const int j_lo = std::max(0, i - max_dst);
+    const int j_hi = std::min(len_b, i + max_dst);
+    const int k_lo = j_lo - i + max_dst;
+
+    // Reset only the live window of cur.
+    std::fill(cur, cur + stripe, kInf);
+
+    int32_t running = kInf;  // best INSERT-chain source so far: cur[k-1]
+    for (int k = k_lo, j = j_lo; j <= j_hi; ++k, ++j) {
+      int32_t cost;
+      uint8_t par;
+      if (j == 0) {
+        cost = i;  // column-0 border
+        par = kParDelete;
+      } else {
+        const int32_t diag = prev[k] + (b[j - 1] != a_code ? 1 : 0);
+        const int32_t up = (k + 1 < stripe) ? prev[k + 1] + 1 : kInf;
+        const int32_t left = (running < kInf) ? running + 1 : kInf;
+        cost = diag;
+        par = kParMatch;
+        if (left < cost) { cost = left; par = kParInsert; }
+        if (up < cost) { cost = up; par = kParDelete; }
+      }
+      cur[k] = cost;
+      par_row[k] = par;
+      running = cost;
+    }
+
+    const int k_col = len_b - i + max_dst;
+    if (k_col >= 0 && k_col < stripe) ar.col_costs[i] = cur[k_col];
+
+    // Early failure on the main diagonal (skip rows past len_b, where the
+    // reference reads stale memory — see SURVEY.md §7).
+    if (i > 10 && i <= len_b && cur[max_dst] > i * ratio) return 0;
+
+    std::swap(prev, cur);
+  }
+  // after the loop `prev` holds row len_a
+
+  int matlen_a, matlen_b;
+  int32_t final_cost;
+  if (len_a > len_b) {
+    matlen_b = len_b;
+    matlen_a = len_b;
+    final_cost = ar.col_costs[len_b];
+    for (int i = len_b + 1; i <= len_a; ++i) {
+      if (ar.col_costs[i] < final_cost) {
+        final_cost = ar.col_costs[i];
+        matlen_a = i;
+      }
+    }
+  } else {
+    matlen_a = len_a;
+    matlen_b = len_a;
+    final_cost = prev[max_dst];
+    for (int j = len_a + 1; j <= len_b; ++j) {
+      const int32_t c = prev[j - len_a + max_dst];
+      if (c < final_cost) {
+        final_cost = c;
+        matlen_b = j;
+      }
+    }
+  }
+  if (matlen_b < len_b * (1.0 - ratio)) return 0;
+
+  // Iterative traceback; emit reversed, then flip in place.
+  int64_t n = 0;
+  {
+    int i = matlen_a, j = matlen_b;
+    for (;;) {
+      const uint8_t par = parents[static_cast<size_t>(i) * stripe + (j - i + max_dst)];
+      if (par == kParNone) break;
+      if (n >= out_cap) return -1;
+      if (par == kParMatch) {
+        out_ops[n] = kParMatch;
+        out_vals[n] = b[j - 1];
+        --i; --j;
+      } else if (par == kParInsert) {
+        out_ops[n] = kParInsert;
+        out_vals[n] = b[j - 1];
+        --j;
+      } else {
+        out_ops[n] = kParDelete;
+        out_vals[n] = 0;
+        --i;
+      }
+      ++n;
+    }
+    std::reverse(out_ops, out_ops + n);
+    std::reverse(out_vals, out_vals + n);
+  }
+
+  out_meta[0] = matlen_a;
+  out_meta[1] = matlen_b;
+  out_meta[2] = final_cost;
+  out_meta[3] = static_cast<int32_t>(n);
+  return 1;
+}
+
+// Walk the [u32 len][ceil(len/4) bytes] record chain of a file buffer.
+// Returns the record count; fills offsets/lengths up to cap entries.
+int64_t pb_scan_records(const uint8_t* buf, int64_t nbytes,
+                        int64_t* offsets, int64_t* lengths, int64_t cap) {
+  int64_t n = 0;
+  int64_t off = 0;
+  while (off + 4 <= nbytes) {
+    uint32_t ln;
+    std::memcpy(&ln, buf + off, 4);
+    if (n < cap) {
+      offsets[n] = off;
+      lengths[n] = ln;
+    }
+    ++n;
+    off += 4 + (static_cast<int64_t>(ln) + 3) / 4;
+  }
+  return n;
+}
+
+// Pack codes (0..3) four-per-byte, first base in bits 7-6.
+void pb_pack(const uint8_t* codes, int64_t n, uint8_t* out) {
+  int64_t full = n / 4;
+  for (int64_t q = 0; q < full; ++q) {
+    const uint8_t* c = codes + q * 4;
+    out[q] = static_cast<uint8_t>((c[0] << 6) | (c[1] << 4) | (c[2] << 2) | c[3]);
+  }
+  if (n % 4) {
+    uint8_t v = 0;
+    for (int64_t t = full * 4, s = 6; t < n; ++t, s -= 2)
+      v |= static_cast<uint8_t>(codes[t] << s);
+    out[full] = v;
+  }
+}
+
+// Unpack bytes into n codes.
+void pb_unpack(const uint8_t* packed, int64_t n, uint8_t* out) {
+  for (int64_t t = 0; t < n; ++t)
+    out[t] = (packed[t >> 2] >> ((3 - (t & 3)) << 1)) & 0x3;
+}
+
+}  // extern "C"

@@ -1,0 +1,29 @@
+"""Test harness config.
+
+Runs JAX on CPU with 8 virtual devices so sharding/collective tests work
+without TPU hardware (SURVEY.md §4 "what the TPU build must add").
+Must run before anything imports jax.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+REFERENCE_DIR = "/root/reference"
+REAL_ALIGN = os.path.join(os.path.dirname(__file__), "data", "real_align.txt")
+
+
+@pytest.fixture(scope="session")
+def real_align_pairs():
+    """The 6 (ref, read) overlap pairs bundled with the reference tests."""
+    with open(REAL_ALIGN) as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    return [(lines[i], lines[i + 1]) for i in range(0, len(lines), 2)]
