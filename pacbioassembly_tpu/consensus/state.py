@@ -1,0 +1,286 @@
+"""Evolving consensus reference with per-base vote tensors.
+
+Re-design of the reference's `ref_seq` + `vote_box` + `base_vote`
+(ref_seq.h:47-373): the std::list<vote_box> becomes flat integer tensors
+aligned with the text buffer —
+
+  sel   (cap, 4) int32   selection votes per base      (base_vote acgt)
+  sup   (cap, 4) int32   supplement (insert-after) votes
+  total (cap,)   int32   participant count per box
+
+The text buffer keeps the sequence in the middle third so it can grow in
+both directions (txt_buf layout, ref_seq.h:363-372). Window semantics match
+the reference exactly: [beg, end) is the round-stable reference, [pre,
+post) the mid-round extended extent.
+
+elect() turns an edit stream into scatter-adds (apply_edits,
+ref_seq.h:25-41); evolve() is the vectorized split/keep/delete walk
+(ref_seq.h:317-349), including the absorb-into-previous-survivor rule for
+deleted boxes. Both are commutative integer updates, which is what makes
+the multi-chip vote merge a plain psum (see parallel/).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..align.types import AlignResult, DELETE, INSERT, MATCH
+from ..config import Constants
+
+
+class ConsensusRef:
+    def __init__(
+        self,
+        codes: np.ndarray,
+        locked: bool = False,
+        weight: int = 1,
+        capacity: int = 3 * Constants.MAX_SEQ_LEN,
+        overlap_min: int = Constants.OVERLAP_MIN,
+        vote_ratio: float = Constants.VOTE_RATIO,
+    ):
+        codes = np.asarray(codes, dtype=np.uint8)
+        L = len(codes)
+        if L > capacity // 3:
+            raise ValueError(f"initial reference too long: {L}")
+        self.cap = capacity
+        self.origin = capacity // 3
+        self.locked = locked
+        self.overlap_min = overlap_min
+        self.vote_ratio = vote_ratio
+
+        self.buf = np.zeros(capacity, dtype=np.uint8)
+        self.sel = np.zeros((capacity, 4), dtype=np.int32)
+        self.sup = np.zeros((capacity, 4), dtype=np.int32)
+        self.total = np.zeros(capacity, dtype=np.int32)
+
+        o = self.origin
+        self.buf[o : o + L] = codes
+        # vote_box(c, w): w selection votes but total == 1 (ref_seq.h:122)
+        self.sel[o + np.arange(L), codes] = weight
+        self.total[o : o + L] = 1
+        self.beg = self.pre = o
+        self.end = self.post = o + L
+
+    # ------------------------------------------------------------------ geometry
+
+    def length(self) -> int:
+        return self.end - self.beg
+
+    def contained(self, pos: int) -> bool:
+        return self.pre <= pos + self.beg < self.post
+
+    def accessor(self, pos: int, forward: bool) -> np.ndarray:
+        """Reference subsequence in reading order (get_accessor,
+        ref_seq.h:282-286): forward reads toward post, backward reads toward
+        pre on the same strand (no reverse complement)."""
+        assert self.contained(pos), pos
+        p = self.beg + pos
+        if forward:
+            return self.buf[p : self.post]
+        return self.buf[self.pre : p + 1][::-1]
+
+    def text(self) -> np.ndarray:
+        """The round-stable reference window [beg, end)."""
+        return self.buf[self.beg : self.end]
+
+    # ------------------------------------------------------------------ growth
+
+    def _reset_rows(self, lo: int, hi: int) -> None:
+        self.sel[lo:hi] = 0
+        self.sup[lo:hi] = 0
+        self.total[lo:hi] = 0
+
+    def append(self, codes: np.ndarray) -> None:
+        """Grow at the tail with fresh single-vote boxes (ref_seq.h:227-233)."""
+        codes = np.asarray(codes, dtype=np.uint8)
+        L = len(codes)
+        if L == 0:
+            return
+        if self.post + L > self.cap:
+            raise OverflowError("reference capacity exceeded (append)")
+        lo = self.post
+        self.buf[lo : lo + L] = codes
+        self._reset_rows(lo, lo + L)
+        self.sel[lo + np.arange(L), codes] = 1
+        self.total[lo : lo + L] = 1
+        self.post += L
+
+    def prepend(self, codes: np.ndarray) -> None:
+        """Grow at the head; `codes` in genomic (left-to-right) order
+        (ref_seq.h:235-242)."""
+        codes = np.asarray(codes, dtype=np.uint8)
+        L = len(codes)
+        if L == 0:
+            return
+        if self.pre - L < 0:
+            raise OverflowError("reference capacity exceeded (prepend)")
+        lo = self.pre - L
+        self.buf[lo : lo + L] = codes
+        self._reset_rows(lo, lo + L)
+        self.sel[lo + np.arange(L), codes] = 1
+        self.total[lo : lo + L] = 1
+        self.pre = lo
+
+    # ------------------------------------------------------------------ voting
+
+    def elect(self, pos: int, ops: np.ndarray, vals: np.ndarray, forward: bool) -> None:
+        """Apply an edit stream as votes (elect + apply_edits,
+        ref_seq.h:25-41, 352-362).
+
+        MATCH  -> sel[box, val] += 1, total[box] += 1, advance
+        DELETE -> total[box] += 1, advance
+        INSERT -> sup[prev-box(fwd) / cur-box(bwd), val] += 1, no advance
+        """
+        ops = np.asarray(ops)
+        vals = np.asarray(vals)
+        advance = (ops != INSERT).astype(np.int64)
+        nonins_before = np.cumsum(advance) - advance  # exclusive prefix count
+        start = self.beg + pos
+        if forward:
+            idx = start + nonins_before
+            idx = np.where(ops == INSERT, idx - 1, idx)
+        else:
+            idx = start - nonins_before
+        m = ops == MATCH
+        d = ops == DELETE
+        i = ops == INSERT
+        np.add.at(self.sel, (idx[m], vals[m].astype(np.int64)), 1)
+        np.add.at(self.total, idx[m], 1)
+        np.add.at(self.total, idx[d], 1)
+        np.add.at(self.sup, (idx[i], vals[i].astype(np.int64)), 1)
+
+    def try_align(self, aligner, pos: int, seg: np.ndarray, forward: bool):
+        """Align a read segment at reference position pos; on success vote and
+        possibly grow (try_align, ref_seq.h:259-277).
+
+        `aligner(a, b)` -> AlignResult|None with a=reference, b=segment;
+        `seg` is the segment in reading order.
+        Returns the AlignResult on acceptance, else None.
+        """
+        ref = self.accessor(pos, forward)
+        res: AlignResult | None = aligner(ref, seg)
+        if res is None:
+            return None
+        if res.matlen_a < self.overlap_min:
+            return None
+        if self.locked:
+            return res
+        self.elect(pos, res.ops, res.vals, forward)
+        if res.matlen_a == len(ref):
+            tail = seg[res.matlen_b :]
+            if forward:
+                self.append(tail)
+            else:
+                self.prepend(tail[::-1])
+        return res
+
+    # ------------------------------------------------------------------ evolve
+
+    def evolve(self) -> None:
+        """Commit votes: split supplements into new boxes, keep majority
+        winners, delete the rest absorbing their selection into the previous
+        survivor's supplement (ref_seq.h:317-349). Fully vectorized over the
+        interleaved candidate array [box0, split0, box1, split1, ...]."""
+        if self.locked:
+            return
+        pre, post = self.pre, self.post
+        L = post - pre
+        if L == 0:
+            self.beg = self.end = self.pre = self.post = self.origin
+            return
+        sel = self.sel[pre:post].copy()
+        sup = self.sup[pre:post].copy()
+        tot = self.total[pre:post].copy()
+
+        sel_max = sel.max(axis=1)
+        sup_max = sup.max(axis=1)
+        thresh = self.vote_ratio * tot
+        valid = sel_max > thresh      # is_valid(0.5)  (ref_seq.h:170)
+        has_sup = sup_max > thresh    # has_supply(0.5) (ref_seq.h:175)
+        # winner(): argmax with A>C>G>T tie preference == first max
+        sel_win = sel.argmax(axis=1).astype(np.uint8)
+        sup_win = sup.argmax(axis=1).astype(np.uint8)
+
+        # candidate slots: 2i = original box i (kept iff valid), 2i+1 = split
+        # box of i (exists iff has_sup; a split box is always valid because
+        # split copies total and has_supply uses the same threshold).
+        K = np.empty(2 * L, dtype=bool)
+        K[0::2] = valid
+        K[1::2] = has_sup
+
+        cand_sel = np.zeros((2 * L, 4), dtype=np.int32)
+        cand_sup = np.zeros((2 * L, 4), dtype=np.int32)
+        cand_tot = np.zeros(2 * L, dtype=np.int32)
+        cand_code = np.zeros(2 * L, dtype=np.uint8)
+        cand_sel[0::2] = sel
+        cand_sup[0::2] = np.where(has_sup[:, None], 0, sup)  # split() resets sup
+        cand_tot[0::2] = tot
+        cand_code[0::2] = sel_win
+        cand_sel[1::2] = sup
+        cand_tot[1::2] = tot
+        cand_code[1::2] = sup_win
+
+        # deleted boxes absorb their selection into the nearest preceding
+        # kept candidate's supplement (ref_seq.h:339-346)
+        slot_of_kept = np.where(K, np.arange(2 * L), -1)
+        last_kept_before = np.concatenate(
+            [[-1], np.maximum.accumulate(slot_of_kept)[:-1]]
+        )
+        del_idx = np.nonzero(~valid)[0]
+        tgt = last_kept_before[2 * del_idx]
+        okm = tgt >= 0
+        np.add.at(cand_sup, tgt[okm], sel[del_idx[okm]])
+
+        kept = np.nonzero(K)[0]
+        newL = len(kept)
+        o = self.origin
+        if o + newL > self.cap:
+            raise OverflowError("reference capacity exceeded (evolve)")
+        self.buf[o : o + newL] = cand_code[kept]
+        self.sel[o : o + newL] = cand_sel[kept]
+        self.sup[o : o + newL] = cand_sup[kept]
+        self.total[o : o + newL] = cand_tot[kept]
+        self.pre = self.beg = o
+        self.end = self.post = o + newL
+
+    # ------------------------------------------------------------------ misc
+
+    def state_dict(self) -> dict:
+        """Checkpointable snapshot (SURVEY.md §5 checkpoint/resume)."""
+        pre, post = self.pre, self.post
+        return {
+            "codes": self.buf[pre:post].copy(),
+            "sel": self.sel[pre:post].copy(),
+            "sup": self.sup[pre:post].copy(),
+            "total": self.total[pre:post].copy(),
+            "beg": self.beg - pre,
+            "end": self.end - pre,
+            "locked": self.locked,
+            "overlap_min": self.overlap_min,
+            "vote_ratio": self.vote_ratio,
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict, capacity: int = 3 * Constants.MAX_SEQ_LEN):
+        ref = cls.__new__(cls)
+        codes = np.asarray(state["codes"], dtype=np.uint8)
+        L = len(codes)
+        ref.cap = capacity
+        ref.origin = capacity // 3
+        ref.locked = bool(state["locked"])
+        ref.overlap_min = int(state["overlap_min"])
+        ref.vote_ratio = float(state["vote_ratio"])
+        ref.buf = np.zeros(capacity, dtype=np.uint8)
+        ref.sel = np.zeros((capacity, 4), dtype=np.int32)
+        ref.sup = np.zeros((capacity, 4), dtype=np.int32)
+        ref.total = np.zeros(capacity, dtype=np.int32)
+        o = ref.origin
+        ref.buf[o : o + L] = codes
+        ref.sel[o : o + L] = state["sel"]
+        ref.sup[o : o + L] = state["sup"]
+        ref.total[o : o + L] = state["total"]
+        ref.pre = o
+        ref.post = o + L
+        ref.beg = o + int(state["beg"])
+        ref.end = o + int(state["end"])
+        return ref

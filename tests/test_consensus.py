@@ -1,0 +1,250 @@
+"""Consensus parity tests — port of reference test/ref_test.cpp:18-254.
+
+Covers ballot semantics (base_vote/vote_box thresholds and ties), accessor/
+containment/seedmap behavior, growth, and the full align->vote->evolve
+integration scenarios for substitutions, deletions, single/double
+insertions (both directions), and end extension by append/prepend.
+"""
+
+import numpy as np
+import pytest
+
+from pacbioassembly_tpu.align import exact_align
+from pacbioassembly_tpu.codec import dna
+from pacbioassembly_tpu.consensus import ConsensusRef
+from pacbioassembly_tpu.index import build_seedmap
+
+DNA_TXT = "ACGTAACCGGTTAAACCCGGGTTTTGCAAAAAAAAAAAAAAAA"
+DNA_TXT1 = "ACGTAACCGGTTAAACCCGGGTGTTGCAAAAAAAAAAAAAAAA"
+DNA_TXT2 = "ACGTAACCGGTTAAACCCGGGTTGTTGCAAAAAAAAAAAAAAAA"
+DNA_TXT3 = "ACGTAACCGGTTAAACCCGGGTTGGTTGCAAAAAAAAAAAAAAAA"
+DNA_TXT4 = "ACGTAACCGGTTAAACCCGGGTTGTTGCAAAAAAAAAAAAAAAAGGCCTTAA"
+DNA_TXT5 = "ACGTAACCGGTTAAACCCGGGTTGTTGCAAAAAAAAAAAAAAAAGGCCTTAAC"
+DNA_TXT6 = "TTTTACGTAACCGGTTAAACCCGGGTTGTTGCAAAAAAAAAAAAAAAA"
+DNA_TXT7 = "TTTTTACGTAACCGGTTAAACCCGGGTTGTTGCAAAAAAAAAAAAAAAA"
+DNA_POST = "CGT"
+DNA_PRE = "TGC"
+
+SZ = len(DNA_TXT)
+
+
+def codes(s):
+    return dna.text_to_codes(s)
+
+
+def fwd_seg(s, start=0, length=None):
+    c = codes(s)
+    length = len(c) - start if length is None else length
+    return c[start : start + length]
+
+
+def bwd_seg(s, start=None, length=None):
+    c = codes(s)
+    start = len(c) - 1 if start is None else start
+    length = start + 1 if length is None else length
+    return c[start - length + 1 : start + 1][::-1]
+
+
+@pytest.fixture
+def ref():
+    # SetUp (ref_test.cpp:84-91): small capacity keeps tests fast.
+    # overlap_min=16: the reference's shipped gtest scenarios use 43-bp
+    # sequences, which its shipped OVERLAP_MIN=64 rejects (verified by
+    # compiling ref_seq.h: try_align returns false with matlen_a=43); the
+    # scenarios pin the vote/evolve semantics, so run them below the
+    # rejection threshold. The 64-threshold itself is pinned by
+    # test_overlap_min_rejection.
+    return ConsensusRef(codes(DNA_TXT), capacity=3 * 4096, overlap_min=16)
+
+
+# ------------------------------------------------------------------ ballots
+# base_vote/vote_box semantics are embedded in the tensor ops; replicate the
+# gtest ballot scenarios directly against a tiny ConsensusRef.
+
+
+def test_base_vote_winner_and_ties():
+    # (ref_test.cpp:18-37) A>C>G>T tie preference via first-max argmax
+    v = np.zeros(4, np.int32)
+    v[dna.CHAR2CODE[ord("A")]] += 1
+    assert int(v.argmax()) == 0  # 'A'
+    v[1] += 2
+    assert int(v.argmax()) == 1  # 'C' with 2 votes
+    v[2] += 3
+    assert int(np.argmax(v)) == 2  # 'G' with 3
+    v = np.zeros(4, np.int32)
+    v[3] = 1
+    assert int(v.argmax()) == 3  # 'T'
+
+
+def test_vote_box_thresholds():
+    # (ref_test.cpp:39-69) strict > ratio*total semantics
+    ref = ConsensusRef(codes("T"), capacity=3 * 64)
+    o = ref.origin
+    assert ref.sel[o].max() > 0.5 * ref.total[o]          # is_valid
+    assert not (ref.sup[o].max() > 0.5 * ref.total[o])    # has_supply
+
+    ref.total[o] += 1  # ignore()
+    assert not (ref.sel[o].max() > 0.5 * ref.total[o])
+
+    ref.sel[o, 1] += 1
+    ref.total[o] += 1  # select('C')
+    assert not (ref.sel[o].max() > 0.5 * ref.total[o])
+
+    ref.sel[o, 1] += 2
+    ref.total[o] += 2  # select('C') x2
+    assert ref.sel[o].max() > 0.5 * ref.total[o]
+    assert int(ref.sel[o].argmax()) == 1  # 'C'
+    assert ref.total[o] == 5
+
+    ref.sup[o, 3] += 2  # supply('T') x2
+    assert not (ref.sup[o].max() > 0.5 * ref.total[o])
+    ref.sup[o, 3] += 1
+    assert ref.sup[o].max() > 0.5 * ref.total[o]
+    assert int(ref.sup[o].argmax()) == 3  # 'T'
+
+
+# ------------------------------------------------------------------ basic
+
+
+def test_basic_accessors_and_seedmap(ref):
+    # (ref_test.cpp:100-129)
+    assert ref.length() == SZ
+    assert not ref.contained(-1)
+    assert ref.contained(0)
+    assert ref.contained(SZ - 1)
+    assert not ref.contained(SZ)
+
+    np.testing.assert_array_equal(ref.accessor(0, True), codes(DNA_TXT))
+    np.testing.assert_array_equal(ref.accessor(SZ - 1, False), codes(DNA_TXT)[::-1])
+
+    idx, n_indexed = build_seedmap(ref.text(), 0xFFFFFFFF)
+    # -1 for the trailing all-A seed (ref_test.cpp:119-128)
+    assert idx.n_keys == SZ - 15 - 1
+    txt_codes = codes(DNA_TXT)
+    for i in range(SZ - 16):
+        assert len(idx.lookup(dna.encode_seed(txt_codes, i))) > 0
+    # the trailing poly-A seed (masked value 0) is excluded
+    assert len(idx.lookup(0)) == 0
+    assert len(idx.lookup(dna.encode_seed(txt_codes, SZ - 16))) == 0
+
+
+def test_grow(ref):
+    # (ref_test.cpp:131-142)
+    ref.append(codes(DNA_POST))
+    assert ref.contained(SZ + len(DNA_POST) - 1)
+    assert not ref.contained(SZ + len(DNA_POST))
+    ref.prepend(codes(DNA_PRE))
+    assert ref.contained(-len(DNA_PRE))
+    assert not ref.contained(-len(DNA_PRE) - 1)
+    assert ref.length() == SZ
+
+
+# ------------------------------------------------------------------ integration
+
+
+def test_change_substitution(ref):
+    # (ref_test.cpp:144-154): two segments voting the substitution win
+    seg = fwd_seg(DNA_TXT1)
+    assert ref.try_align(exact_align, 0, seg, True) is not None
+    assert ref.try_align(exact_align, 0, seg, True) is not None
+    ref.evolve()
+    np.testing.assert_array_equal(ref.text(), codes(DNA_TXT1))
+
+
+def test_remove_deletion(ref):
+    # (ref_test.cpp:156-166)
+    seg = fwd_seg(DNA_TXT, 1)
+    assert ref.try_align(exact_align, 0, seg, True) is not None
+    assert ref.try_align(exact_align, 0, seg, True) is not None
+    ref.evolve()
+    assert ref.length() == SZ - 1
+    np.testing.assert_array_equal(ref.text(), codes(DNA_TXT)[1:])
+
+
+def test_insert_single(ref):
+    # (ref_test.cpp:168-178)
+    seg = fwd_seg(DNA_TXT2)
+    res = ref.try_align(exact_align, 0, seg, True)
+    assert res is not None and res.nedit == len(DNA_TXT2)
+    assert ref.try_align(exact_align, 0, seg, True) is not None
+    ref.evolve()
+    assert ref.length() == len(DNA_TXT2)
+    np.testing.assert_array_equal(ref.text(), codes(DNA_TXT2))
+
+
+def test_insert_double(ref):
+    # (ref_test.cpp:180-189): double insertion collapses to one supplement
+    seg = fwd_seg(DNA_TXT3)
+    assert ref.try_align(exact_align, 0, seg, True) is not None
+    ref.evolve()
+    assert ref.length() == SZ + 1
+    np.testing.assert_array_equal(ref.text(), codes(DNA_TXT2)[: SZ + 1])
+
+
+def test_back_insert(ref):
+    # (ref_test.cpp:191-207)
+    seg = bwd_seg(DNA_TXT2)
+    res = ref.try_align(exact_align, SZ - 1, seg, False)
+    assert res is not None and res.nedit == len(DNA_TXT2)
+    assert ref.try_align(exact_align, SZ - 1, seg, False) is not None
+    ref.evolve()
+    assert ref.length() == len(DNA_TXT2)
+    np.testing.assert_array_equal(ref.accessor(len(DNA_TXT2) - 1, False), codes(DNA_TXT2)[::-1])
+
+
+def test_back_insert2(ref):
+    # (ref_test.cpp:209-221)
+    seg = bwd_seg(DNA_TXT3)
+    res = ref.try_align(exact_align, SZ - 1, seg, False)
+    assert res is not None and res.nedit == len(DNA_TXT3)
+    ref.evolve()
+    assert ref.length() == SZ + 1
+    np.testing.assert_array_equal(ref.accessor(SZ, False), codes(DNA_TXT2)[: SZ + 1][::-1])
+
+
+def test_append_extension(ref):
+    # (ref_test.cpp:223-236): boundary-overlapping reads extend the tail
+    seg4 = fwd_seg(DNA_TXT4)
+    assert ref.try_align(exact_align, 0, seg4, True) is not None
+    assert ref.contained(SZ + 1)
+    seg5 = fwd_seg(DNA_TXT5)
+    assert ref.try_align(exact_align, 0, seg5, True) is not None
+    ref.evolve()
+    assert ref.length() == len(DNA_TXT5)
+    np.testing.assert_array_equal(ref.text(), codes(DNA_TXT5))
+
+
+def test_prepend_extension(ref):
+    # (ref_test.cpp:238-254)
+    seg6 = bwd_seg(DNA_TXT6)
+    assert ref.try_align(exact_align, SZ - 1, seg6, False) is not None
+    assert ref.contained(-1)
+    seg7 = bwd_seg(DNA_TXT7)
+    assert ref.try_align(exact_align, SZ - 1, seg7, False) is not None
+    ref.evolve()
+    assert ref.length() == len(DNA_TXT7)
+    np.testing.assert_array_equal(
+        ref.accessor(len(DNA_TXT7) - 1, False), codes(DNA_TXT7)[::-1]
+    )
+
+
+def test_overlap_min_rejection():
+    """With the shipped OVERLAP_MIN=64 (common.h:39), a 43-bp overlap is
+    rejected even though the alignment itself succeeds — matches the
+    compiled reference's try_align behavior."""
+    ref = ConsensusRef(codes(DNA_TXT), capacity=3 * 4096)  # default 64
+    assert ref.overlap_min == 64
+    assert ref.try_align(exact_align, 0, fwd_seg(DNA_TXT1), True) is None
+
+
+def test_state_dict_roundtrip(ref):
+    seg = fwd_seg(DNA_TXT2)
+    ref.try_align(exact_align, 0, seg, True)
+    state = ref.state_dict()
+    ref2 = ConsensusRef.from_state_dict(state, capacity=3 * 4096)
+    ref.evolve()
+    ref2.evolve()
+    np.testing.assert_array_equal(ref.text(), ref2.text())
+    np.testing.assert_array_equal(
+        ref.sel[ref.pre : ref.post], ref2.sel[ref2.pre : ref2.post]
+    )
