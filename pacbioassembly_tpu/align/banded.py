@@ -138,6 +138,8 @@ def align_banded(
 
         prev = cur
 
+    diag_cost = int(prev[max_dst]) if len_a <= len_b else -1
+
     # goal_cell (:191-213): strict improvement scanning outward
     if len_a > len_b:
         matlen_b = len_b
@@ -188,4 +190,5 @@ def align_banded(
         len_a=len_a,
         len_b=len_b,
         max_dst=max_dst,
+        diag_cost=diag_cost,
     )

@@ -39,6 +39,10 @@ class AlignResult:
     len_a: int
     len_b: int
     max_dst: int
+    #: cost of cell (len_a, len_a) — the main-diagonal cell of the final row;
+    #: -1 when len_a > len_b (cell outside the computed region). Used by the
+    #: locator tool (locator.cpp:88: get_cost(len-j, len-j)).
+    diag_cost: int = -1
 
     @property
     def nedit(self) -> int:

@@ -1,0 +1,66 @@
+"""Read set backed by a binary record file.
+
+Replaces the reference's mmap + std::list<seq_index> walk
+(open_binary, spaced_seed.cpp:309-345): records are scanned natively, reads
+outside (min_read_len, max_read_len) are dropped, and code arrays are
+decoded on demand with a one-entry cache (mirroring set_active_seg,
+spaced_seed.cpp:109-118).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..codec import binary_io, dna
+from ..config import AssemblyConfig, Constants
+
+
+class ReadStore:
+    def __init__(
+        self,
+        buf: np.ndarray,
+        min_read_len: int = Constants.SEQ_THRESHOLD,
+        max_read_len: int = Constants.MAX_READ_LEN,
+    ):
+        self.buf = np.asarray(buf, dtype=np.uint8)
+        offsets, lengths = binary_io.scan_records(self.buf)
+        keep = (lengths > min_read_len) & (lengths < max_read_len)
+        self.offsets = offsets[keep]
+        self.lengths = lengths[keep]
+        # ids mirror the reference's running i++ over *kept* records
+        self.ids = np.arange(len(self.offsets), dtype=np.int64)
+        self._cache_key: int | None = None
+        self._cache_codes: np.ndarray | None = None
+
+    @classmethod
+    def from_file(cls, path: str, cfg: AssemblyConfig | None = None) -> "ReadStore":
+        cfg = cfg or AssemblyConfig()
+        return cls(
+            np.fromfile(path, dtype=np.uint8),
+            min_read_len=cfg.min_read_len,
+            max_read_len=cfg.max_read_len,
+        )
+
+    def __len__(self) -> int:
+        return len(self.offsets)
+
+    def length(self, i: int) -> int:
+        return int(self.lengths[i])
+
+    def codes(self, i: int) -> np.ndarray:
+        if self._cache_key != i:
+            off = int(self.offsets[i])
+            ln = int(self.lengths[i])
+            payload = self.buf[off + 4 : off + 4 + (ln + 3) // 4]
+            self._cache_codes = dna.unpack_codes(payload, ln)
+            self._cache_key = i
+        return self._cache_codes
+
+    def record(self, i: int) -> np.ndarray:
+        """Raw [len][payload] record bytes (for quirk-compat seed_at)."""
+        off = int(self.offsets[i])
+        ln = int(self.lengths[i])
+        return self.buf[off : off + 4 + (ln + 3) // 4]
+
+    def decode_all(self) -> list[np.ndarray]:
+        return [self.codes(i).copy() for i in range(len(self))]

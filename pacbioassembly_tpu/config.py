@@ -90,3 +90,7 @@ class AssemblyConfig:
     # seed_at() pos%4==0 fast path reads the wrong byte offset (dna_seq.h:64).
     # True replicates the bug for bit-parity with the C++ binary.
     quirk_seed_at: bool = False
+    # The reference reads the -f initial reference with fgets and keeps the
+    # trailing '\n' as a base (C2I('\n') == 3 == 'T'; spaced_seed.cpp:198-203).
+    # True replicates that extra bogus base for bit-parity.
+    quirk_init_newline: bool = False

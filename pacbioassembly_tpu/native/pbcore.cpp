@@ -63,7 +63,9 @@ extern "C" {
 
 // Banded edit-distance alignment of code arrays a (len la) and b (len lb).
 //
-// out_meta (int32[4]): {matlen_a, matlen_b, final_cost, nedit}.
+// out_meta (int32[5]): {matlen_a, matlen_b, final_cost, nedit, diag_cost}
+// where diag_cost is cell (len_a, len_a) of the final row, or -1 when
+// len_a > len_b.
 // out_ops/out_vals (uint8[out_cap]): edit stream transforming a into b;
 // vals carries the b-side code for MATCH/INSERT edits.
 //
@@ -142,6 +144,7 @@ int pb_align(const uint8_t* a, int la, const uint8_t* b, int lb,
     std::swap(prev, cur);
   }
   // after the loop `prev` holds row len_a
+  const int32_t diag_cost = (len_a <= len_b) ? prev[max_dst] : -1;
 
   int matlen_a, matlen_b;
   int32_t final_cost;
@@ -200,6 +203,7 @@ int pb_align(const uint8_t* a, int la, const uint8_t* b, int lb,
   out_meta[1] = matlen_b;
   out_meta[2] = final_cost;
   out_meta[3] = static_cast<int32_t>(n);
+  out_meta[4] = diag_cost;
   return 1;
 }
 

@@ -93,7 +93,7 @@ def align(
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
     cap = len(a) + len(b) + 2
-    meta = np.zeros(4, dtype=np.int32)
+    meta = np.zeros(5, dtype=np.int32)
     ops = np.empty(cap, dtype=np.uint8)
     vals = np.empty(cap, dtype=np.uint8)
     rc = lib.pb_align(
@@ -119,6 +119,7 @@ def align(
         len_a=p.len_a,
         len_b=p.len_b,
         max_dst=p.max_dst,
+        diag_cost=int(meta[4]),
     )
 
 
