@@ -1,0 +1,269 @@
+"""Pallas TPU kernel for batched banded edit-distance screening.
+
+The hot loop of the whole engine (reference seq_aligner.h:151-190 is the
+serial analogue; SURVEY.md §6's north-star metric is banded-DP cell
+updates/s/chip). Design:
+
+  * one grid program scores 8 alignments (the int32 sublane count); the
+    band stripe lives across lanes — cell (i, j) of pair m sits at
+    [m, k = j - i + W] of an (8, S) VMEM vector, S = 2*w_max+1 rounded up
+    to a lane multiple;
+  * rows advance sequentially (i = 1..la_max); everything within a row is
+    a VPU vector op across the whole band — the DELETE source is a lane
+    roll of the previous row, the MATCH source is the previous row in
+    place, and the b-side character window is a dynamic lane slice of a
+    pre-shifted b_ext array (no per-lane gather);
+  * the in-row INSERT chain r[k] = min(D[k], r[k-1]+1) is resolved exactly
+    in log2(S) shift-min steps (min-plus prefix scan by doubling);
+  * goal-cell tracking (far-column running argmin + far-row argmin with
+    first-minimum tie-break), early failure, and size rejection all run
+    in-kernel; 5 scalars per alignment leave the chip.
+
+Parity: bit-identical decisions with align/scan.py and align/banded.py —
+every threshold comparison uses integer tables precomputed on host in
+float64 (scan._threshold_tables), so there is no float drift on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Constants
+from .scan import BatchScores, _threshold_tables
+
+INF = np.int32(1 << 28)
+SUBLANES = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    tab_ref,      # (1, T) int32 early-failure thresholds floor(i*R)
+    a_ref,        # (8, LA_pad) int32 codes of a
+    bext_ref,     # (8, EXT) int32 pre-shifted b codes (-1 sentinel)
+    md_ref,       # (8, 1) int32 per-pair max_dst
+    lena_ref,     # (8, 1) int32
+    lenb_ref,     # (8, 1) int32
+    oksz_ref,     # (8, 1) int32 size-accept flag
+    out_ref,      # (8, 128) int32: lanes 0..4 = accept, cost, ma, mb, diag
+    prev_ref,     # scratch (8, S) int32
+    final_ref,    # scratch (8, S) int32
+    *,
+    la_max: int,
+    w_max: int,
+    s_pad: int,
+):
+    S = s_pad
+    W = w_max
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, S), 1)
+    md = md_ref[:]
+    len_a = lena_ref[:]
+    len_b = lenb_ref[:]
+
+    # row 0 borders: cost(0, j) = j for 0 <= j <= min(len_b, md)
+    j0 = lane - W
+    prev_ref[:] = jnp.where((j0 >= 0) & (j0 <= jnp.minimum(len_b, md)), j0, INF)
+    final_ref[:] = jnp.full((SUBLANES, S), INF, jnp.int32)
+
+    doubling = []
+    s = 1
+    while s < S:
+        doubling.append(s)
+        s <<= 1
+
+    def row(i, carry):
+        failed, best_col, best_col_i = carry
+        prev = prev_ref[:]
+        active = i <= len_a  # (8,1) broadcasts over lanes
+
+        brow = bext_ref[:, pl.ds(i - 1, S)]
+        ai = a_ref[:, pl.ds(i - 1, 1)]
+        j = lane + (i - W)
+        in_band = jnp.abs(lane - W) <= md
+        validj = (j >= 1) & (j <= len_b) & in_band & active
+        mismatch = (brow != ai).astype(jnp.int32)
+        diag = jnp.where(validj, prev + mismatch, INF)
+        up_src = pltpu.roll(prev, shift=S - 1, axis=1)  # == jnp.roll(prev, -1)
+        up_src = jnp.where(lane == S - 1, INF, up_src)
+        up = jnp.where(validj, up_src + 1, INF)
+        D = jnp.minimum(diag, up)
+        border = (j == 0) & (i <= md) & active
+        D = jnp.where(border, i, D)
+
+        # exact min-plus prefix scan (INSERT chains) by doubling
+        r = D
+        for sh in doubling:
+            shifted = pltpu.roll(r, shift=sh, axis=1)
+            shifted = jnp.where(lane < sh, INF, shifted)
+            r = jnp.minimum(r, shifted + sh)
+        cur = jnp.where(validj | border, r, INF)
+
+        # early failure: cost(i, i) is lane W; threshold floor(i*R)
+        thr = tab_ref[0, i]
+        diag_cell = cur[:, W][:, None]
+        fail_now = active & (i > 10) & (i <= len_b) & (diag_cell > thr)
+        failed = failed | fail_now
+
+        # far-column running argmin: cost(i, len_b) at lane len_b - i + W
+        k_col = len_b - i + W
+        col_val = jnp.min(jnp.where(lane == k_col, cur, INF), axis=1, keepdims=True)
+        upd = active & (i >= len_b) & (col_val < best_col)
+        best_col = jnp.where(upd, col_val, best_col)
+        best_col_i = jnp.where(upd, i, best_col_i)
+
+        final_ref[:] = jnp.where(len_a == i, cur, final_ref[:])
+        prev_ref[:] = jnp.where(active, cur, prev)
+        return failed, best_col, best_col_i
+
+    zeros = jnp.zeros((SUBLANES, 1), jnp.int32)
+    failed, best_col, best_col_i = jax.lax.fori_loop(
+        1,
+        la_max + 1,
+        row,
+        (zeros == 1, jnp.full((SUBLANES, 1), INF, jnp.int32), zeros),
+    )
+
+    final_row = final_ref[:]
+    # goal cell, len_a <= len_b case: first minimum over lanes
+    # [W, W + len_b - len_a] of the final row
+    maskS = (lane >= W) & (lane <= W + (len_b - len_a))
+    rowm = jnp.where(maskS, final_row, INF)
+    costS = jnp.min(rowm, axis=1, keepdims=True)
+    kS = jnp.min(
+        jnp.where(rowm == costS, lane, jnp.int32(1 << 30)), axis=1, keepdims=True
+    )
+    mbS = len_a + (kS - W)
+
+    long = len_a > len_b
+    matlen_a = jnp.where(long, best_col_i, len_a)
+    matlen_b = jnp.where(long, len_b, mbS)
+    cost = jnp.where(long, best_col, costS)
+    diag_cost = jnp.where(len_a <= len_b, final_row[:, W][:, None], -1)
+
+    accept = ((oksz_ref[:] != 0) & (~failed) & (cost < INF)).astype(jnp.int32)
+
+    out = jnp.zeros((SUBLANES, 128), jnp.int32)
+    out = out.at[:, 0:1].set(accept)
+    out = out.at[:, 1:2].set(cost)
+    out = out.at[:, 2:3].set(matlen_a)
+    out = out.at[:, 3:4].set(matlen_b)
+    out = out.at[:, 4:5].set(diag_cost)
+    out_ref[:] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm", "interpret"),
+)
+def batch_score_pallas(
+    a: jax.Array,
+    la: jax.Array,
+    b: jax.Array,
+    lb: jax.Array,
+    *,
+    la_max: int,
+    w_max: int,
+    ratio: float = Constants.MAXR,
+    maxn: int = Constants.ALIGNER_MAXN,
+    maxm: int = Constants.ALIGNER_MAXM,
+    interpret: bool = False,
+) -> BatchScores:
+    """Pallas TPU equivalent of scan.batch_score (same contract).
+
+    a: (B, LA) codes; la: (B,) lengths; b: (B, LB) codes; lb: (B,) lengths.
+    """
+    B0 = a.shape[0]
+    LB = b.shape[1]
+    S = _round_up(2 * w_max + 1, 128)
+    LA_pad = _round_up(max(la_max, a.shape[1]), 128)
+    EXT = _round_up(la_max + S, 128)
+    tab_len = max(la_max, LB) + 2
+
+    early_thr_np, accept_min_np, band_tab_np = _threshold_tables(ratio, tab_len)
+    tab = jnp.pad(
+        jnp.asarray(early_thr_np, jnp.int32)[None, :],
+        ((0, 0), (0, _round_up(tab_len + 1, 128) - tab_len - 1)),
+    )
+    band_tab = jnp.asarray(band_tab_np)
+    accept_min = jnp.asarray(accept_min_np)
+
+    a = a.astype(jnp.int32)
+    b = b.astype(jnp.int32)
+    la = la.astype(jnp.int32)
+    lb = lb.astype(jnp.int32)
+
+    # per-pair geometry (seq_aligner.h:92-107)
+    cond = lb >= la
+    min_len = jnp.where(cond, la, lb)
+    md = band_tab[jnp.clip(min_len, 0, tab_len)]
+    len_a = jnp.where(cond, la, jnp.minimum(la, lb + md))
+    len_b = jnp.where(cond, jnp.minimum(lb, la + md), lb)
+    ok_size = (
+        (len_a < maxn + maxm) & (md < maxm) & (md <= w_max) & (len_a <= la_max)
+    ).astype(jnp.int32)
+
+    # pad batch to a sublane multiple; padding rows are size-rejected
+    B = _round_up(max(B0, 1), SUBLANES)
+    dpad = B - B0
+
+    def padb(x, fill=0):
+        return jnp.pad(x, ((0, dpad),) + ((0, 0),) * (x.ndim - 1), constant_values=fill)
+
+    a_p = jnp.pad(padb(a), ((0, 0), (0, LA_pad - a.shape[1])))
+    md_p = padb(md[:, None], 1)
+    lena_p = padb(len_a[:, None], 1)
+    lenb_p = padb(len_b[:, None], 1)
+    oksz_p = padb(ok_size[:, None], 0)
+
+    # b_ext[m, t] = b[m, t - W] with -1 sentinel outside [0, lb) — lets the
+    # kernel read the row's b window as one dynamic lane slice at offset i-1
+    t_idx = jnp.arange(EXT, dtype=jnp.int32)[None, :]
+    src = t_idx - w_max
+    valid = (src >= 0) & (src < lb[:, None])
+    gathered = jnp.take_along_axis(
+        b, jnp.broadcast_to(jnp.clip(src, 0, LB - 1), (B0, EXT)), axis=1
+    )
+    b_ext = padb(jnp.where(valid, gathered, -1), -1)
+
+    grid = (B // SUBLANES,)
+    cells = la_max * (2 * w_max + 1)
+    out = pl.pallas_call(
+        functools.partial(_kernel, la_max=la_max, w_max=w_max, s_pad=S),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tab.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LA_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, EXT), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (SUBLANES, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, S), jnp.int32),
+            pltpu.VMEM((SUBLANES, S), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * cells, bytes_accessed=B * (LA_pad + EXT) * 4, transcendentals=0
+        ),
+        interpret=interpret,
+    )(tab, a_p, b_ext, md_p, lena_p, lenb_p, oksz_p)
+
+    out = out[:B0]
+    accept = (
+        (out[:, 0] != 0)
+        & (out[:, 3] >= accept_min[jnp.clip(len_b, 0, tab_len)])
+    )
+    return BatchScores(accept, out[:, 1], out[:, 2], out[:, 3], out[:, 4], len_a)

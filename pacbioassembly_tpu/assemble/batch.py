@@ -1,0 +1,268 @@
+"""Batch (TPU) assembly engine.
+
+Redefines the reference's sequential round (spaced_seed.cpp:410-453) into a
+screen-then-commit round that keeps the DP work on the accelerator:
+
+  Phase A (device): expand every surviving read's seeding trials into
+    candidate (read, trial j, direction, ref offset) tuples against the
+    ROUND-START reference, bucket them by segment size, and score them all
+    with the batched banded-DP kernel (Pallas on TPU, lax.scan elsewhere).
+
+  Phase B (host, native): for each read with accepted candidates, in read
+    order, take its first candidate in trial-priority order (j asc, forward
+    before backward, bucket insertion order) and commit it through the
+    sequential try_align path — exact votes + boundary growth against the
+    CURRENT (possibly mid-phase-grown) reference, matching the reference's
+    mid-round growth semantics for everything that commits.
+
+Documented divergence from the exact engine: candidate discovery sees the
+round-start reference, so a read that the reference would only catch after
+mid-round growth is simply caught in a later round. Votes are commutative
+tensor updates either way. Phase A is what shards across chips
+(parallel/sharded.py); Phase B touches only the handful of accepted reads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, TextIO
+
+import numpy as np
+
+from ..align import exact_align
+from ..align.screen import score_batch, size_bucket
+from ..codec import dna
+from ..config import AssemblyConfig, Constants
+from ..consensus import ConsensusRef
+from ..index import SeedIndex, build_seedmap
+from .driver import RoundStats, init_reference
+from .reads import ReadStore
+
+SEED_LEN = Constants.SEED_LEN
+
+
+@dataclasses.dataclass
+class Candidate:
+    read: int      # index into surviving read list
+    j: int         # trial number
+    forward: bool
+    r_offset: int  # reference position (already direction-adjusted)
+    rank: int      # position within the index bucket
+
+
+def expand_candidates(
+    reads: ReadStore,
+    surviving: list[int],
+    index: SeedIndex,
+    pattern: int,
+    cfg: AssemblyConfig,
+) -> list[Candidate]:
+    """All seeding trials for all surviving reads, in trial-priority order
+    per read (mirrors the j / forward-then-backward order of
+    spaced_seed.cpp:424-426)."""
+    out: list[Candidate] = []
+    cap = cfg.bucket_max_candidates
+    for ridx, i in enumerate(surviving):
+        codes = reads.codes(i)
+        slen = len(codes)
+        for j in range(cfg.max_trial):
+            for forward in (True, False):
+                pos = j if forward else slen - j - SEED_LEN
+                if pos < 0 or pos + SEED_LEN > slen:
+                    continue
+                if cfg.quirk_seed_at:
+                    seed = dna.seed_at_quirk(reads.record(i), pos)
+                else:
+                    seed = dna.encode_seed(codes, pos)
+                cands = index.lookup(seed & pattern)
+                if len(cands) == 0:
+                    continue
+                s_offset = pos if forward else pos + SEED_LEN - 1
+                s_len = slen - s_offset if forward else s_offset + 1
+                if s_len < cfg.overlap_min:
+                    continue
+                for rank, c in enumerate(cands[:cap]):
+                    r = int(c) + (0 if forward else SEED_LEN - 1)
+                    out.append(Candidate(ridx, j, forward, r, rank))
+    return out
+
+
+class BatchAssembler:
+    def __init__(
+        self,
+        cfg: AssemblyConfig,
+        reads: ReadStore,
+        patterns: list[int],
+        ref: Optional[ConsensusRef] = None,
+        dump: Optional[TextIO] = None,
+    ):
+        if not patterns:
+            raise ValueError("no seed patterns")
+        self.cfg = cfg
+        self.reads = reads
+        self.patterns = patterns
+        self.rng = np.random.default_rng(cfg.rng_seed)
+        self.ref = ref if ref is not None else init_reference(cfg, reads, self.rng)
+        self.dump = dump
+        self.surviving = list(range(len(reads)))
+        self.nfailure = 0
+        self.nround = 0
+        self.dp_cells_total = 0
+        self.history: list[RoundStats] = []
+        self._aligner = partial(exact_align, ratio=cfg.ratio)
+
+    def _pick_pattern(self) -> int:
+        if self.nfailure != 0:
+            return self.patterns[self.nfailure - 1]
+        if self.cfg.pattern_schedule == "roundrobin":
+            return self.patterns[(self.nround - 1) % len(self.patterns)]
+        return self.patterns[int(self.rng.integers(0, len(self.patterns)))]
+
+    # ------------------------------------------------------------ phase A
+
+    def screen(self, cands: list[Candidate]) -> np.ndarray:
+        """Device-score all candidates vs the round-start reference.
+        Returns a bool accept vector aligned with `cands`."""
+        cfg = self.cfg
+        ref = self.ref
+        accept = np.zeros(len(cands), dtype=bool)
+        if not cands:
+            return accept
+
+        # group candidates by size bucket
+        buckets: dict[tuple[int, int, int], list[int]] = {}
+        seg_len = np.zeros(len(cands), dtype=np.int64)
+        ref_len = np.zeros(len(cands), dtype=np.int64)
+        for n, c in enumerate(cands):
+            i = self.surviving[c.read]
+            slen = self.reads.length(i)
+            s_len = slen - c.j if c.forward else slen - c.j
+            # forward: segment starts at pos=j -> length slen - j
+            # backward: segment starts at pos+15 going left -> length pos+16 = slen - j
+            seg_len[n] = s_len
+            p = ref.beg + c.r_offset
+            ref_len[n] = (ref.post - p) if c.forward else (p - ref.pre + 1)
+            key = size_bucket(int(s_len), cfg.ratio)
+            buckets.setdefault(key, []).append(n)
+
+        for (LB, LA, W), idxs in buckets.items():
+            B = len(idxs)
+            a_mat = np.zeros((B, LA), dtype=np.uint8)
+            b_mat = np.zeros((B, LB), dtype=np.uint8)
+            la = np.zeros(B, dtype=np.int32)
+            lb = np.zeros(B, dtype=np.int32)
+            for bi, n in enumerate(idxs):
+                c = cands[n]
+                i = self.surviving[c.read]
+                codes = self.reads.codes(i)
+                if c.forward:
+                    seg = codes[c.j :]
+                else:
+                    seg = codes[: len(codes) - c.j][::-1]
+                p = ref.beg + c.r_offset
+                need = min(int(ref_len[n]), LA)
+                if c.forward:
+                    a = ref.buf[p : p + need]
+                else:
+                    a = ref.buf[p - need + 1 : p + 1][::-1]
+                a_mat[bi, : len(a)] = a
+                b_mat[bi, : len(seg)] = seg
+                la[bi] = ref_len[n]  # full accessor length (clamped in-kernel)
+                lb[bi] = len(seg)
+            # clamp la to what we materialized: the kernel's len_a =
+            # min(la, lb+md) <= LB + W + 1 = LA, so `need` rows always cover it
+            la = np.minimum(la, LA).astype(np.int32)
+            res = score_batch(
+                a_mat, la, b_mat, lb,
+                la_max=LA, w_max=W, ratio=cfg.ratio,
+            )
+            acc = np.asarray(res.accept)
+            ma = np.asarray(res.matlen_a)
+            ok = acc & (ma >= cfg.overlap_min)
+            for bi, n in enumerate(idxs):
+                accept[n] = bool(ok[bi])
+            self.dp_cells_total += int(np.asarray(res.dp_rows).sum()) * (2 * W + 1)
+        return accept
+
+    # ------------------------------------------------------------ phase B
+
+    def commit(self, cands: list[Candidate], accept: np.ndarray) -> int:
+        """Sequentially commit each read's first accepted candidate through
+        the exact try_align path (votes + growth vs the current reference).
+        Returns the number of consumed reads."""
+        by_read: dict[int, list[int]] = {}
+        for n, c in enumerate(cands):
+            if accept[n]:
+                by_read.setdefault(c.read, []).append(n)
+
+        consumed = []
+        for ridx in sorted(by_read):
+            i = self.surviving[ridx]
+            codes = self.reads.codes(i)
+            done = False
+            for n in by_read[ridx]:
+                c = cands[n]
+                seg = codes[c.j :] if c.forward else codes[: len(codes) - c.j][::-1]
+                res = self.ref.try_align(self._aligner, c.r_offset, seg, c.forward)
+                if res is not None:
+                    if self.dump is not None:
+                        ref_codes = self.ref.accessor(c.r_offset, c.forward)[: res.matlen_a]
+                        self.dump.write(dna.codes_to_text(ref_codes) + "\n")
+                        self.dump.write(dna.codes_to_text(seg[: res.matlen_b]) + "\n")
+                    done = True
+                    break
+            if done:
+                consumed.append(ridx)
+        consumed_set = set(consumed)
+        self.surviving = [
+            i for r, i in enumerate(self.surviving) if r not in consumed_set
+        ]
+        return len(consumed)
+
+    # ------------------------------------------------------------ rounds
+
+    def run_round(self, log: Optional[TextIO] = None) -> RoundStats:
+        self.nround += 1
+        pattern = self._pick_pattern()
+        index, n_indexed = build_seedmap(self.ref.text(), pattern)
+        cands = expand_candidates(self.reads, self.surviving, index, pattern, self.cfg)
+        accept = self.screen(cands)
+        nmatches = self.commit(cands, accept)
+
+        if nmatches != 0:
+            self.nfailure = 0
+        else:
+            self.nfailure += 1
+        if self.nfailure < len(self.patterns):
+            self.ref.evolve()
+
+        stats = RoundStats(
+            nround=self.nround,
+            pattern=pattern,
+            seedmap_size=n_indexed,
+            ref_len=self.ref.length(),
+            nmatches=nmatches,
+            ntrials=len(cands),
+            nreads_left=len(self.surviving),
+            dp_cells=0,
+        )
+        self.history.append(stats)
+        return stats
+
+    def run(self, out=None, log=None) -> ConsensusRef:
+        cfg = self.cfg
+        max_round = cfg.max_round if cfg.max_round is not None else 1 << 31
+        while self.nround < max_round:
+            stats = self.run_round(log=log)
+            if log:
+                log.write(
+                    f"--- batch round {stats.nround}: matches={stats.nmatches} "
+                    f"ref_len={stats.ref_len} candidates={stats.ntrials} "
+                    f"reads_left={stats.nreads_left}\n"
+                )
+            if self.nfailure >= len(self.patterns):
+                break
+            if out:
+                out.write(dna.codes_to_text(self.ref.text()) + "\n")
+        return self.ref

@@ -7,12 +7,19 @@ Must run before anything imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment points JAX at the axon TPU tunnel
+# (JAX_PLATFORMS=axon), which makes test compiles remote and slow. Tests are
+# hermetic on CPU; bench.py is what targets the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pbtpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import numpy as np
 import pytest
