@@ -11,8 +11,12 @@ updates/s/chip). Design:
   * rows advance sequentially (i = 1..la_max); everything within a row is
     a VPU vector op across the whole band — the DELETE source is a lane
     roll of the previous row, the MATCH source is the previous row in
-    place, and the b-side character window is a dynamic lane slice of a
-    pre-shifted b_ext array (no per-lane gather);
+    place;
+  * per-row inputs (the a character, the shifted b window, the
+    early-failure threshold) are served from small VMEM windows that are
+    refreshed every 128 rows with lane-aligned dynamic slices and rotated
+    into place with tpu dynamic rotates — Mosaic only allows dynamic lane
+    slices at multiples of 128;
   * the in-row INSERT chain r[k] = min(D[k], r[k-1]+1) is resolved exactly
     in log2(S) shift-min steps (min-plus prefix scan by doubling);
   * goal-cell tracking (far-column running argmin + far-row argmin with
@@ -39,10 +43,16 @@ from .scan import BatchScores, _threshold_tables
 
 INF = np.int32(1 << 28)
 SUBLANES = 8
+CHUNK = 128  # lane-alignment quantum for dynamic slices
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _lane_pick(vec, lane, idx):
+    """Value at lane `idx` (traced) of each sublane, as (rows, 1)."""
+    return jnp.min(jnp.where(lane == idx, vec, jnp.int32(1 << 30)), axis=1, keepdims=True)
 
 
 def _kernel(
@@ -56,12 +66,16 @@ def _kernel(
     out_ref,      # (8, 128) int32: lanes 0..4 = accept, cost, ma, mb, diag
     prev_ref,     # scratch (8, S) int32
     final_ref,    # scratch (8, S) int32
+    awin_ref,     # scratch (8, CHUNK) int32
+    bwin_ref,     # scratch (8, S + CHUNK) int32
+    twin_ref,     # scratch (1, 2 * CHUNK) int32
     *,
     la_max: int,
     w_max: int,
     s_pad: int,
 ):
     S = s_pad
+    SW = S + CHUNK
     W = w_max
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, S), 1)
     md = md_ref[:]
@@ -84,14 +98,30 @@ def _kernel(
         prev = prev_ref[:]
         active = i <= len_a  # (8,1) broadcasts over lanes
 
-        brow = bext_ref[:, pl.ds(i - 1, S)]
-        ai = a_ref[:, pl.ds(i - 1, 1)]
+        im1 = i - 1
+        r = jax.lax.rem(im1, CHUNK)
+        base = im1 - r
+
+        @pl.when(r == 0)
+        def _refresh():
+            b0 = pl.multiple_of(base, CHUNK)
+            awin_ref[:] = a_ref[:, pl.ds(b0, CHUNK)]
+            bwin_ref[:] = bext_ref[:, pl.ds(b0, SW)]
+            twin_ref[:] = tab_ref[:, pl.ds(b0, 2 * CHUNK)]
+
+        # a[i-1] per pair: element r of the window
+        ai = pltpu.roll(awin_ref[:], CHUNK - r, axis=1)[:, 0:1]
+        # b window: brow[k] = b_ext[(i-1) + k] = element r+k of the window
+        brow = pltpu.roll(bwin_ref[:], SW - r, axis=1)[:, :S]
+        # early-failure threshold floor(i*R): element r+1 of the window
+        thr = pltpu.roll(twin_ref[:], 2 * CHUNK - (r + 1), axis=1)[0:1, 0:1]
+
         j = lane + (i - W)
         in_band = jnp.abs(lane - W) <= md
         validj = (j >= 1) & (j <= len_b) & in_band & active
         mismatch = (brow != ai).astype(jnp.int32)
         diag = jnp.where(validj, prev + mismatch, INF)
-        up_src = pltpu.roll(prev, shift=S - 1, axis=1)  # == jnp.roll(prev, -1)
+        up_src = pltpu.roll(prev, S - 1, axis=1)  # == jnp.roll(prev, -1)
         up_src = jnp.where(lane == S - 1, INF, up_src)
         up = jnp.where(validj, up_src + 1, INF)
         D = jnp.minimum(diag, up)
@@ -99,22 +129,22 @@ def _kernel(
         D = jnp.where(border, i, D)
 
         # exact min-plus prefix scan (INSERT chains) by doubling
-        r = D
+        rr = D
         for sh in doubling:
-            shifted = pltpu.roll(r, shift=sh, axis=1)
+            shifted = pltpu.roll(rr, sh, axis=1)
             shifted = jnp.where(lane < sh, INF, shifted)
-            r = jnp.minimum(r, shifted + sh)
-        cur = jnp.where(validj | border, r, INF)
+            rr = jnp.minimum(rr, shifted + sh)
+        cur = jnp.where(validj | border, rr, INF)
 
-        # early failure: cost(i, i) is lane W; threshold floor(i*R)
-        thr = tab_ref[0, i]
-        diag_cell = cur[:, W][:, None]
-        fail_now = active & (i > 10) & (i <= len_b) & (diag_cell > thr)
-        failed = failed | fail_now
+        # early failure: cost(i, i) is lane W
+        diag_cell = _lane_pick(cur, lane, W)
+        fail_now = (active & (i > 10) & (i <= len_b) & (diag_cell > thr)).astype(
+            jnp.int32
+        )
+        failed = jnp.maximum(failed, fail_now)
 
         # far-column running argmin: cost(i, len_b) at lane len_b - i + W
-        k_col = len_b - i + W
-        col_val = jnp.min(jnp.where(lane == k_col, cur, INF), axis=1, keepdims=True)
+        col_val = _lane_pick(cur, lane, len_b - i + W)
         upd = active & (i >= len_b) & (col_val < best_col)
         best_col = jnp.where(upd, col_val, best_col)
         best_col_i = jnp.where(upd, i, best_col_i)
@@ -128,7 +158,7 @@ def _kernel(
         1,
         la_max + 1,
         row,
-        (zeros == 1, jnp.full((SUBLANES, 1), INF, jnp.int32), zeros),
+        (zeros, jnp.full((SUBLANES, 1), INF, jnp.int32), zeros),
     )
 
     final_row = final_ref[:]
@@ -146,16 +176,16 @@ def _kernel(
     matlen_a = jnp.where(long, best_col_i, len_a)
     matlen_b = jnp.where(long, len_b, mbS)
     cost = jnp.where(long, best_col, costS)
-    diag_cost = jnp.where(len_a <= len_b, final_row[:, W][:, None], -1)
+    diag_cost = jnp.where(len_a <= len_b, _lane_pick(final_row, lane, W), -1)
 
-    accept = ((oksz_ref[:] != 0) & (~failed) & (cost < INF)).astype(jnp.int32)
+    accept = ((oksz_ref[:] != 0) & (failed == 0) & (cost < INF)).astype(jnp.int32)
 
-    out = jnp.zeros((SUBLANES, 128), jnp.int32)
-    out = out.at[:, 0:1].set(accept)
-    out = out.at[:, 1:2].set(cost)
-    out = out.at[:, 2:3].set(matlen_a)
-    out = out.at[:, 3:4].set(matlen_b)
-    out = out.at[:, 4:5].set(diag_cost)
+    lane_out = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, 128), 1)
+    out = jnp.where(lane_out == 0, accept, 0)
+    out = jnp.where(lane_out == 1, cost, out)
+    out = jnp.where(lane_out == 2, matlen_a, out)
+    out = jnp.where(lane_out == 3, matlen_b, out)
+    out = jnp.where(lane_out == 4, diag_cost, out)
     out_ref[:] = out
 
 
@@ -182,16 +212,18 @@ def batch_score_pallas(
     """
     B0 = a.shape[0]
     LB = b.shape[1]
-    S = _round_up(2 * w_max + 1, 128)
-    LA_pad = _round_up(max(la_max, a.shape[1]), 128)
-    EXT = _round_up(la_max + S, 128)
+    S = _round_up(2 * w_max + 1, CHUNK)
+    LA_pad = _round_up(max(la_max, a.shape[1]), CHUNK)
+    EXT = LA_pad + S + CHUNK
+    T_pad = LA_pad + 2 * CHUNK
     tab_len = max(la_max, LB) + 2
 
     early_thr_np, accept_min_np, band_tab_np = _threshold_tables(ratio, tab_len)
-    tab = jnp.pad(
-        jnp.asarray(early_thr_np, jnp.int32)[None, :],
-        ((0, 0), (0, _round_up(tab_len + 1, 128) - tab_len - 1)),
-    )
+    thr_full = np.full(T_pad, 0, np.int32)
+    ncopy = min(tab_len + 1, T_pad)
+    thr_full[:ncopy] = early_thr_np[:ncopy]
+    # rows past tab_len never pass the i<=len_b guard; pad value irrelevant
+    tab = jnp.asarray(thr_full[None, :])
     band_tab = jnp.asarray(band_tab_np)
     accept_min = jnp.asarray(accept_min_np)
 
@@ -223,8 +255,8 @@ def batch_score_pallas(
     lenb_p = padb(len_b[:, None], 1)
     oksz_p = padb(ok_size[:, None], 0)
 
-    # b_ext[m, t] = b[m, t - W] with -1 sentinel outside [0, lb) — lets the
-    # kernel read the row's b window as one dynamic lane slice at offset i-1
+    # b_ext[m, t] = b[m, t - W] with -1 sentinel outside [0, lb) — the kernel
+    # reads the row-i b window as lanes [i-1, i-1+S) of this array
     t_idx = jnp.arange(EXT, dtype=jnp.int32)[None, :]
     src = t_idx - w_max
     valid = (src >= 0) & (src < lb[:, None])
@@ -239,7 +271,7 @@ def batch_score_pallas(
         functools.partial(_kernel, la_max=la_max, w_max=w_max, s_pad=S),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tab.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, LA_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, EXT), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -254,6 +286,9 @@ def batch_score_pallas(
         scratch_shapes=[
             pltpu.VMEM((SUBLANES, S), jnp.int32),
             pltpu.VMEM((SUBLANES, S), jnp.int32),
+            pltpu.VMEM((SUBLANES, CHUNK), jnp.int32),
+            pltpu.VMEM((SUBLANES, S + CHUNK), jnp.int32),
+            pltpu.VMEM((1, 2 * CHUNK), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=8 * B * cells, bytes_accessed=B * (LA_pad + EXT) * 4, transcendentals=0
