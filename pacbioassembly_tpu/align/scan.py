@@ -103,7 +103,10 @@ def batch_score(
         prev0 = jnp.where(
             (j0 >= 0) & (j0 <= jnp.minimum(len_b, md)), j0, INF
         ).astype(jnp.int32)
-        final_row0 = jnp.full(S, INF, jnp.int32)
+        # derive the other carry inits from a (possibly device-varying)
+        # input so shard_map's varying-axis tracking accepts the scan
+        failed0 = la_i < 0  # always False
+        final_row0 = jnp.full(S, INF, jnp.int32) + la_i * 0
 
         def row(carry, i):
             prev, failed, final_row = carry
@@ -140,7 +143,7 @@ def batch_score(
 
         (prev, failed, final_row), col_list = jax.lax.scan(
             row,
-            (prev0, jnp.asarray(False), final_row0),
+            (prev0, failed0, final_row0),
             jnp.arange(1, la_max + 1, dtype=jnp.int32),
         )
 

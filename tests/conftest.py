@@ -21,6 +21,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pbtpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
+import jax
+
+# The sitecustomize in PYTHONPATH registers the axon TPU plugin before this
+# file runs, so the env var alone may be read too late — force the config.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,59 @@
+"""Batch (screen-then-commit) engine end-to-end checks.
+
+The batch engine redefines round semantics (candidates discovered against
+the round-start reference), so its consensus is not bit-equal to the exact
+engine's — the tests check full read consumption, determinism, and that the
+final consensus is equivalent (aligns to the exact engine's golden result
+at sub-percent edit distance)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from pacbioassembly_tpu.align import exact_align
+from pacbioassembly_tpu.assemble import ReadStore
+from pacbioassembly_tpu.assemble.batch import BatchAssembler
+from pacbioassembly_tpu.codec import dna
+from pacbioassembly_tpu.codec.dna import load_patterns
+from pacbioassembly_tpu.config import AssemblyConfig
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def data(name):
+    return os.path.join(DATA, name)
+
+
+def run_batch():
+    cfg = AssemblyConfig(
+        initial_ref_path=data("synth_init.txt"),
+        max_round=30,
+        pattern_schedule="roundrobin",
+        quirk_init_newline=True,
+        quirk_seed_at=True,
+        engine="batch",
+    )
+    reads = ReadStore.from_file(data("synth_reads.bin"), cfg)
+    patterns = load_patterns(data("oneseed_spaced.txt"))
+    asm = BatchAssembler(cfg, reads, patterns)
+    asm.run(out=io.StringIO(), log=None)
+    return asm
+
+
+def test_batch_engine_assembles_and_is_deterministic():
+    asm1 = run_batch()
+    assert len(asm1.surviving) == 0, "all reads consumed"
+
+    golden = open(data("golden_consensus_spaced.txt")).read().splitlines()[-1]
+    mine = dna.codes_to_text(asm1.ref.text())
+    assert abs(len(mine) - len(golden)) < 50
+
+    # the two consensus sequences are near-identical
+    res = exact_align(dna.text_to_codes(mine), dna.text_to_codes(golden), ratio=0.3)
+    assert res is not None
+    assert res.cost <= 0.01 * len(golden), res.cost
+
+    asm2 = run_batch()
+    np.testing.assert_array_equal(asm1.ref.text(), asm2.ref.text())
