@@ -252,6 +252,15 @@ class BatchAssembler:
 
     def run(self, out=None, log=None) -> ConsensusRef:
         cfg = self.cfg
+        metrics = None
+        if cfg.metrics_path:
+            from ..utils import MetricsLogger
+
+            metrics = MetricsLogger(path=cfg.metrics_path)
+        if cfg.resume_path:
+            from .checkpoint import load_checkpoint
+
+            load_checkpoint(cfg.resume_path, self)
         max_round = cfg.max_round if cfg.max_round is not None else 1 << 31
         while self.nround < max_round:
             stats = self.run_round(log=log)
@@ -261,8 +270,22 @@ class BatchAssembler:
                     f"ref_len={stats.ref_len} candidates={stats.ntrials} "
                     f"reads_left={stats.nreads_left}\n"
                 )
+            if metrics:
+                metrics.round(stats)
+            if cfg.checkpoint_path and cfg.checkpoint_every and (
+                self.nround % cfg.checkpoint_every == 0
+            ):
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(cfg.checkpoint_path, self)
             if self.nfailure >= len(self.patterns):
                 break
             if out:
                 out.write(dna.codes_to_text(self.ref.text()) + "\n")
+        if cfg.checkpoint_path:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(cfg.checkpoint_path, self)
+        if metrics:
+            metrics.close()
         return self.ref

@@ -61,6 +61,7 @@ def init_reference(
             dna.text_to_codes(seq),
             locked=cfg.locked,
             weight=weight,
+            capacity=3 * cfg.max_seq_len,
             overlap_min=cfg.overlap_min,
             vote_ratio=cfg.vote_ratio,
         )
@@ -68,6 +69,7 @@ def init_reference(
     return ConsensusRef(
         reads.codes(i).copy(),
         locked=cfg.locked,
+        capacity=3 * cfg.max_seq_len,
         overlap_min=cfg.overlap_min,
         vote_ratio=cfg.vote_ratio,
     )
@@ -223,12 +225,19 @@ class Assembler:
         """Full assembly loop (main, spaced_seed.cpp:410-453). Prints the
         consensus to `out` after every round, like the reference."""
         cfg = self.cfg
+        metrics = None
+        if cfg.metrics_path:
+            from ..utils import MetricsLogger
+
+            metrics = MetricsLogger(path=cfg.metrics_path)
+        if cfg.resume_path:
+            from .checkpoint import load_checkpoint
+
+            load_checkpoint(cfg.resume_path, self)
         max_round = cfg.max_round if cfg.max_round is not None else 1 << 31
-        nround = 0
-        while nround < max_round:
-            nround += 1
+        while self.nround < max_round:
             if log:
-                log.write(f"--------------- round {nround} ---------\n")
+                log.write(f"--------------- round {self.nround + 1} ---------\n")
             stats = self.run_round(log=log if cfg.verbose else None)
             if log:
                 log.write(
@@ -236,10 +245,24 @@ class Assembler:
                     f"reference length: {stats.ref_len}\n#trials: {self.ntrials_total}\n"
                     f"#matches: {stats.nmatches}\n"
                 )
+            if metrics:
+                metrics.round(stats)
+            if cfg.checkpoint_path and cfg.checkpoint_every and (
+                self.nround % cfg.checkpoint_every == 0
+            ):
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(cfg.checkpoint_path, self)
             if self.nfailure >= len(self.patterns):
                 break
             if out:
                 out.write(dna.codes_to_text(self.ref.text()) + "\n")
+        if cfg.checkpoint_path:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(cfg.checkpoint_path, self)
+        if metrics:
+            metrics.close()
         return self.ref
 
 

@@ -82,8 +82,21 @@ class AssemblyConfig:
     batch_size: int = 128            # alignments screened per device batch
     bucket_max_candidates: int = 64  # max index hits expanded per (read, trial)
 
+    # capacity: max consensus length (reference MAX_SEQ_LEN, common.h:31);
+    # unlike the reference's compile-time cap this is a runtime knob, so
+    # E. coli-scale genomes just pass a bigger value
+    max_seq_len: int = Constants.MAX_SEQ_LEN
+
+    # checkpoint / resume (SURVEY.md §5: the reference's manual -f resume
+    # made into a real checkpoint)
+    checkpoint_path: Optional[str] = None   # save here every checkpoint_every rounds + at end
+    checkpoint_every: int = 1
+    resume_path: Optional[str] = None
+
     # observability
     dump_path: Optional[str] = None
+    metrics_path: Optional[str] = None      # JSONL per-round metrics
+    profile_dir: Optional[str] = None       # jax.profiler trace directory
     verbose: bool = True
 
     # quirk compatibility with reference bugs (SURVEY.md §7 "hard parts"):

@@ -6,6 +6,8 @@
   visualize  <- visual_align  (visual_align.cpp:42-74)
   quality    <- quality       (quality.cpp:32-39)
   stat-hash  <- stat_hash     (stat_hash.c:19-47)
+  import     (new) FASTA/FASTQ -> 2-bit binary, with quality stream
+  simulate   (new) synthetic PacBio-style read generator
 
 Usage: python -m pacbioassembly_tpu <command> [args]
 """
@@ -58,6 +60,12 @@ def cmd_assemble(args) -> int:
         engine=args.engine,
         dump_path=args.dump,
         quirk_seed_at=args.quirk_seed_at,
+        quirk_init_newline=args.quirk_init_newline,
+        max_seq_len=args.max_seq_len,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume_path=args.resume,
+        metrics_path=args.metrics,
     )
     reads = ReadStore.from_file(args.bin, cfg)
     patterns = load_patterns(args.seedfile)
@@ -211,8 +219,35 @@ def main(argv=None) -> int:
     p.add_argument("--schedule", choices=["random", "roundrobin"], default="random")
     p.add_argument("--rng-seed", type=int, default=None)
     p.add_argument("--quirk-seed-at", action="store_true")
+    p.add_argument("--quirk-init-newline", action="store_true")
+    p.add_argument("--max-seq-len", type=int, default=800_000)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--metrics", default=None)
     p.add_argument("-q", "--quiet", action="store_true")
     p.set_defaults(fn=cmd_assemble)
+
+    p = sub.add_parser("import", help="FASTA/FASTQ -> 2-bit binary records")
+    p.add_argument("input")
+    p.add_argument("out")
+    p.add_argument("--min-len", type=int, default=0)
+    p.add_argument("--quality-out", default=None)
+    from .fastx import cmd_fastx
+
+    p.set_defaults(fn=cmd_fastx)
+
+    p = sub.add_parser("simulate", help="generate synthetic PacBio-style reads")
+    p.add_argument("out")
+    p.add_argument("--genome-len", type=int, default=100_000)
+    p.add_argument("--coverage", type=float, default=30.0)
+    p.add_argument("--mean-read-len", type=int, default=2500)
+    p.add_argument("--error-rate", type=float, default=0.15)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--genome-out", default=None)
+    from .simulate import cmd_simulate
+
+    p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("locate", help="map reads onto a finished contig")
     p.add_argument("contig")
