@@ -93,8 +93,20 @@ def _kernel(
         doubling.append(s)
         s <<= 1
 
-    def row(i, carry):
-        failed, best_col, best_col_i = carry
+    oksz = oksz_ref[:]
+
+    def loop_cond(carry):
+        # early exit: stop as soon as every pair in the group is finished
+        # (early-failed, size-rejected, or past its last row) — the batch
+        # analogue of the reference's per-alignment early abort
+        # (seq_aligner.h:185-187); callers sort candidates by length so
+        # groups finish together.
+        i, failed, best_col, best_col_i = carry
+        done = jnp.minimum(failed + (len_a < i).astype(jnp.int32) + (1 - oksz), 1)
+        return (i <= la_max) & (jnp.min(done) == 0)
+
+    def row(carry):
+        i, failed, best_col, best_col_i = carry
         prev = prev_ref[:]
         active = i <= len_a  # (8,1) broadcasts over lanes
 
@@ -151,14 +163,13 @@ def _kernel(
 
         final_ref[:] = jnp.where(len_a == i, cur, final_ref[:])
         prev_ref[:] = jnp.where(active, cur, prev)
-        return failed, best_col, best_col_i
+        return i + 1, failed, best_col, best_col_i
 
     zeros = jnp.zeros((SUBLANES, 1), jnp.int32)
-    failed, best_col, best_col_i = jax.lax.fori_loop(
-        1,
-        la_max + 1,
+    _, failed, best_col, best_col_i = jax.lax.while_loop(
+        loop_cond,
         row,
-        (zeros, jnp.full((SUBLANES, 1), INF, jnp.int32), zeros),
+        (jnp.int32(1), zeros, jnp.full((SUBLANES, 1), INF, jnp.int32), zeros),
     )
 
     final_row = final_ref[:]

@@ -147,6 +147,9 @@ class BatchAssembler:
             buckets.setdefault(key, []).append(n)
 
         for (LB, LA, W), idxs in buckets.items():
+            # sort by segment length (desc) so the kernel's 8-wide early-exit
+            # groups finish together
+            idxs = sorted(idxs, key=lambda n: -seg_len[n])
             B = len(idxs)
             a_mat = np.zeros((B, LA), dtype=np.uint8)
             b_mat = np.zeros((B, LB), dtype=np.uint8)
