@@ -111,6 +111,7 @@ class BatchAssembler:
         self.dp_cells_total = 0
         self.history: list[RoundStats] = []
         self._aligner = partial(exact_align, ratio=cfg.ratio)
+        self._mesh = None
 
     def _pick_pattern(self) -> int:
         if self.nfailure != 0:
@@ -120,6 +121,40 @@ class BatchAssembler:
         return self.patterns[int(self.rng.integers(0, len(self.patterns)))]
 
     # ------------------------------------------------------------ phase A
+
+    def _score(self, a_mat, la, b_mat, lb, LA, W):
+        """Score one bucket batch — sharded over all local devices when more
+        than one is available (1-D dp mesh, tests/test_sharding.py proves
+        shard-count invariance), single-device kernel otherwise."""
+        import jax
+
+        from ..align.screen import screening_backend
+
+        n_dev = len(jax.devices())
+        B = len(la)
+        if n_dev > 1 and B >= n_dev:
+            from ..align.scan import BatchScores
+            from ..parallel import make_mesh, sharded_screen
+
+            if self._mesh is None:
+                self._mesh = make_mesh()
+            quantum = 8 * n_dev
+            pad = (-B) % quantum
+            if pad:
+                a_mat = np.pad(a_mat, ((0, pad), (0, 0)))
+                b_mat = np.pad(b_mat, ((0, pad), (0, 0)))
+                la = np.pad(la, (0, pad), constant_values=1)
+                lb = np.pad(lb, (0, pad), constant_values=1)
+            backend = screening_backend()
+            res = sharded_screen(
+                self._mesh, a_mat, la, b_mat, lb,
+                la_max=LA, w_max=W, ratio=self.cfg.ratio,
+                backend="pallas" if backend == "pallas" else "scan",
+            )
+            if pad:
+                res = BatchScores(*(x[:B] for x in res))
+            return res
+        return score_batch(a_mat, la, b_mat, lb, la_max=LA, w_max=W, ratio=self.cfg.ratio)
 
     def screen(self, cands: list[Candidate]) -> np.ndarray:
         """Device-score all candidates vs the round-start reference.
@@ -176,10 +211,7 @@ class BatchAssembler:
             # clamp la to what we materialized: the kernel's len_a =
             # min(la, lb+md) <= LB + W + 1 = LA, so `need` rows always cover it
             la = np.minimum(la, LA).astype(np.int32)
-            res = score_batch(
-                a_mat, la, b_mat, lb,
-                la_max=LA, w_max=W, ratio=cfg.ratio,
-            )
+            res = self._score(a_mat, la, b_mat, lb, LA, W)
             acc = np.asarray(res.accept)
             ma = np.asarray(res.matlen_a)
             ok = acc & (ma >= cfg.overlap_min)
