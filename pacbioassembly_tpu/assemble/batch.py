@@ -51,40 +51,79 @@ class Candidate:
     rank: int      # position within the index bucket
 
 
+class TrialSeedCache:
+    """Per-read raw trial seeds, computed once — only the pattern mask
+    changes between rounds, so the whole per-round candidate discovery
+    becomes (seeds & pattern) + one vectorized binary search.
+
+    Column layout interleaves [fwd j=0, bwd j=0, fwd j=1, bwd j=1, ...] so a
+    row scan in column order reproduces the reference's trial priority
+    (spaced_seed.cpp:424-426)."""
+
+    def __init__(self, reads: ReadStore, cfg: AssemblyConfig):
+        T = cfg.max_trial
+        N = len(reads)
+        self.seeds = np.zeros((N, 2 * T), dtype=np.uint32)
+        self.valid = np.zeros((N, 2 * T), dtype=bool)
+        for i in range(N):
+            codes = reads.codes(i)
+            slen = len(codes)
+            fpos = np.arange(min(T, max(0, slen - SEED_LEN + 1)), dtype=np.int64)
+            bpos = slen - SEED_LEN - np.arange(T, dtype=np.int64)
+            bpos = bpos[bpos >= 0][: T]
+            if cfg.quirk_seed_at:
+                rec = reads.record(i)
+                fs = np.array(
+                    [dna.seed_at_quirk(rec, int(p)) for p in fpos], dtype=np.uint32
+                )
+                bs = np.array(
+                    [dna.seed_at_quirk(rec, int(p)) for p in bpos], dtype=np.uint32
+                )
+            else:
+                fs = dna.encode_seeds(codes, fpos) if len(fpos) else np.empty(0, np.uint32)
+                bs = dna.encode_seeds(codes, bpos) if len(bpos) else np.empty(0, np.uint32)
+            # validity includes the segment-length floor (s_len = slen - j)
+            j_idx = np.arange(T)
+            s_len_ok = (slen - j_idx) >= cfg.overlap_min
+            self.seeds[i, 0 : 2 * len(fs) : 2] = fs
+            self.valid[i, 0 : 2 * len(fs) : 2] = s_len_ok[: len(fs)]
+            self.seeds[i, 1 : 2 * len(bs) + 1 : 2] = bs
+            self.valid[i, 1 : 2 * len(bs) + 1 : 2] = s_len_ok[: len(bs)]
+
+
 def expand_candidates(
     reads: ReadStore,
     surviving: list[int],
     index: SeedIndex,
     pattern: int,
     cfg: AssemblyConfig,
+    cache: TrialSeedCache,
 ) -> list[Candidate]:
     """All seeding trials for all surviving reads, in trial-priority order
-    per read (mirrors the j / forward-then-backward order of
-    spaced_seed.cpp:424-426)."""
-    out: list[Candidate] = []
+    per read. Vectorized: mask the cached raw seeds, batch binary-search the
+    index, then expand only the hits."""
+    if not surviving:
+        return []
     cap = cfg.bucket_max_candidates
-    for ridx, i in enumerate(surviving):
-        codes = reads.codes(i)
-        slen = len(codes)
-        for j in range(cfg.max_trial):
-            for forward in (True, False):
-                pos = j if forward else slen - j - SEED_LEN
-                if pos < 0 or pos + SEED_LEN > slen:
-                    continue
-                if cfg.quirk_seed_at:
-                    seed = dna.seed_at_quirk(reads.record(i), pos)
-                else:
-                    seed = dna.encode_seed(codes, pos)
-                cands = index.lookup(seed & pattern)
-                if len(cands) == 0:
-                    continue
-                s_offset = pos if forward else pos + SEED_LEN - 1
-                s_len = slen - s_offset if forward else s_offset + 1
-                if s_len < cfg.overlap_min:
-                    continue
-                for rank, c in enumerate(cands[:cap]):
-                    r = int(c) + (0 if forward else SEED_LEN - 1)
-                    out.append(Candidate(ridx, j, forward, r, rank))
+    alive = np.asarray(surviving)
+    seeds = cache.seeds[alive] & np.uint32(pattern)
+    valid = cache.valid[alive] & (seeds != 0)
+    lo, cnt = index.lookup_batch(seeds.reshape(-1))
+    cnt = cnt.reshape(seeds.shape) * valid
+    lo = lo.reshape(seeds.shape)
+
+    out: list[Candidate] = []
+    hit_rows, hit_cols = np.nonzero(cnt)
+    for ridx, col in zip(hit_rows.tolist(), hit_cols.tolist()):
+        j = col >> 1
+        forward = (col & 1) == 0
+        n = min(int(cnt[ridx, col]), cap)
+        start = int(lo[ridx, col])
+        for rank in range(n):
+            r = int(index.positions[start + rank]) + (
+                0 if forward else SEED_LEN - 1
+            )
+            out.append(Candidate(ridx, j, forward, r, rank))
     return out
 
 
@@ -112,6 +151,7 @@ class BatchAssembler:
         self.history: list[RoundStats] = []
         self._aligner = partial(exact_align, ratio=cfg.ratio)
         self._mesh = None
+        self._trial_cache = TrialSeedCache(reads, cfg)
 
     def _pick_pattern(self) -> int:
         if self.nfailure != 0:
@@ -261,7 +301,9 @@ class BatchAssembler:
         self.nround += 1
         pattern = self._pick_pattern()
         index, n_indexed = build_seedmap(self.ref.text(), pattern)
-        cands = expand_candidates(self.reads, self.surviving, index, pattern, self.cfg)
+        cands = expand_candidates(
+            self.reads, self.surviving, index, pattern, self.cfg, self._trial_cache
+        )
         accept = self.screen(cands)
         nmatches = self.commit(cands, accept)
 
