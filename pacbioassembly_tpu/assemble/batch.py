@@ -205,21 +205,21 @@ class BatchAssembler:
         if not cands:
             return accept
 
-        # group candidates by size bucket
-        buckets: dict[tuple[int, int, int], list[int]] = {}
+        # one launch per round: a single size bucket covering the largest
+        # candidate — per-launch latency dominates on remote links, and the
+        # kernel's 8-wide early exit makes the padding nearly free for
+        # shorter, length-sorted groups
         seg_len = np.zeros(len(cands), dtype=np.int64)
         ref_len = np.zeros(len(cands), dtype=np.int64)
         for n, c in enumerate(cands):
             i = self.surviving[c.read]
             slen = self.reads.length(i)
-            s_len = slen - c.j if c.forward else slen - c.j
-            # forward: segment starts at pos=j -> length slen - j
-            # backward: segment starts at pos+15 going left -> length pos+16 = slen - j
-            seg_len[n] = s_len
+            # fwd: segment = read[j:]; bwd: segment = read[:slen-j] reversed
+            seg_len[n] = slen - c.j
             p = ref.beg + c.r_offset
             ref_len[n] = (ref.post - p) if c.forward else (p - ref.pre + 1)
-            key = size_bucket(int(s_len), cfg.ratio)
-            buckets.setdefault(key, []).append(n)
+        key = size_bucket(int(seg_len.max()), cfg.ratio)
+        buckets = {key: list(range(len(cands)))}
 
         for (LB, LA, W), idxs in buckets.items():
             # sort by segment length (desc) so the kernel's 8-wide early-exit
