@@ -4,10 +4,10 @@ The hot loop of the whole engine (reference seq_aligner.h:151-190 is the
 serial analogue; SURVEY.md §6's north-star metric is banded-DP cell
 updates/s/chip). Design:
 
-  * one grid program scores 8 alignments (the int32 sublane count); the
-    band stripe lives across lanes — cell (i, j) of pair m sits at
-    [m, k = j - i + W] of an (8, S) VMEM vector, S = 2*w_max+1 rounded up
-    to a lane multiple;
+  * one grid program scores 8 (int32 costs) or 16 (int16 costs) alignments
+    — one per sublane; the band stripe lives across lanes: cell (i, j) of
+    pair m sits at [m, k = j - i + W] of a (sublanes, S) VMEM vector,
+    S = 2*w_max+1 rounded up to a lane multiple;
   * rows advance sequentially (i = 1..la_max); everything within a row is
     a VPU vector op across the whole band — the DELETE source is a lane
     roll of the previous row, the MATCH source is the previous row in
@@ -21,7 +21,16 @@ updates/s/chip). Design:
     in log2(S) shift-min steps (min-plus prefix scan by doubling);
   * goal-cell tracking (far-column running argmin + far-row argmin with
     first-minimum tie-break), early failure, and size rejection all run
-    in-kernel; 5 scalars per alignment leave the chip.
+    in-kernel; a while_loop exits as soon as every pair in the program is
+    finished (early-failed / size-rejected / past its last row) — the
+    batch analogue of the reference's early abort; callers sort candidates
+    by length so groups finish together;
+  * 5 scalars per alignment leave the chip.
+
+int16 mode ("auto" precision) doubles sublane throughput whenever the
+whole cost range plus doubling-scan headroom fits: real costs are bounded
+by la_max + w_max + 2 and every intermediate by INF16 + S, so the mode is
+enabled iff la_max + w_max + 2 < 32767 - S - 2.
 
 Parity: bit-identical decisions with align/scan.py and align/banded.py —
 every threshold comparison uses integer tables precomputed on host in
@@ -41,8 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import Constants
 from .scan import BatchScores, _threshold_tables
 
-INF = np.int32(1 << 28)
-SUBLANES = 8
+INF32 = np.int32(1 << 28)
 CHUNK = 128  # lane-alignment quantum for dynamic slices
 
 
@@ -50,42 +58,49 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _lane_pick(vec, lane, idx):
+def _lane_pick(vec, lane, idx, big):
     """Value at lane `idx` (traced) of each sublane, as (rows, 1)."""
-    return jnp.min(jnp.where(lane == idx, vec, jnp.int32(1 << 30)), axis=1, keepdims=True)
+    return jnp.min(jnp.where(lane == idx, vec, big), axis=1, keepdims=True)
 
 
 def _kernel(
-    tab_ref,      # (1, T) int32 early-failure thresholds floor(i*R)
-    a_ref,        # (8, LA_pad) int32 codes of a
-    bext_ref,     # (8, EXT) int32 pre-shifted b codes (-1 sentinel)
-    md_ref,       # (8, 1) int32 per-pair max_dst
-    lena_ref,     # (8, 1) int32
-    lenb_ref,     # (8, 1) int32
-    oksz_ref,     # (8, 1) int32 size-accept flag
-    out_ref,      # (8, 128) int32: lanes 0..4 = accept, cost, ma, mb, diag
-    prev_ref,     # scratch (8, S) int32
-    final_ref,    # scratch (8, S) int32
-    awin_ref,     # scratch (8, CHUNK) int32
-    bwin_ref,     # scratch (8, S + CHUNK) int32
-    twin_ref,     # scratch (1, 2 * CHUNK) int32
+    tab_ref,      # (1, T) cdtype early-failure thresholds floor(i*R)
+    a_ref,        # (SL, LA_pad) cdtype codes of a
+    bext_ref,     # (SL, EXT) cdtype pre-shifted b codes (-1 sentinel)
+    md_ref,       # (SL, 1) int32 per-pair max_dst
+    lena_ref,     # (SL, 1) int32
+    lenb_ref,     # (SL, 1) int32
+    oksz_ref,     # (SL, 1) int32 size-accept flag
+    out_ref,      # (SL, 128) int32: lanes 0..4 = accept, cost, ma, mb, diag
+    prev_ref,     # scratch (SL, S) cdtype
+    final_ref,    # scratch (SL, S) cdtype
+    awin_ref,     # scratch (SL, CHUNK) cdtype
+    bwin_ref,     # scratch (SL, S + CHUNK) cdtype
+    twin_ref,     # scratch (1, 2 * CHUNK) cdtype
     *,
     la_max: int,
     w_max: int,
     s_pad: int,
+    sublanes: int,
+    cdtype,
+    inf_val: int,
 ):
     S = s_pad
     SW = S + CHUNK
     W = w_max
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, S), 1)
+    SL = sublanes
+    INF = cdtype(inf_val)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SL, S), 1)
     md = md_ref[:]
     len_a = lena_ref[:]
     len_b = lenb_ref[:]
 
     # row 0 borders: cost(0, j) = j for 0 <= j <= min(len_b, md)
     j0 = lane - W
-    prev_ref[:] = jnp.where((j0 >= 0) & (j0 <= jnp.minimum(len_b, md)), j0, INF)
-    final_ref[:] = jnp.full((SUBLANES, S), INF, jnp.int32)
+    prev_ref[:] = jnp.where(
+        (j0 >= 0) & (j0 <= jnp.minimum(len_b, md)), j0.astype(cdtype), INF
+    )
+    final_ref[:] = jnp.full((SL, S), INF, cdtype)
 
     doubling = []
     s = 1
@@ -97,10 +112,6 @@ def _kernel(
 
     def loop_cond(carry):
         # early exit: stop as soon as every pair in the group is finished
-        # (early-failed, size-rejected, or past its last row) — the batch
-        # analogue of the reference's per-alignment early abort
-        # (seq_aligner.h:185-187); callers sort candidates by length so
-        # groups finish together.
         i, failed, best_col, best_col_i = carry
         done = jnp.minimum(failed + (len_a < i).astype(jnp.int32) + (1 - oksz), 1)
         return (i <= la_max) & (jnp.min(done) == 0)
@@ -108,7 +119,7 @@ def _kernel(
     def row(carry):
         i, failed, best_col, best_col_i = carry
         prev = prev_ref[:]
-        active = i <= len_a  # (8,1) broadcasts over lanes
+        active = i <= len_a  # (SL,1) broadcasts over lanes
 
         im1 = i - 1
         r = jax.lax.rem(im1, CHUNK)
@@ -131,32 +142,32 @@ def _kernel(
         j = lane + (i - W)
         in_band = jnp.abs(lane - W) <= md
         validj = (j >= 1) & (j <= len_b) & in_band & active
-        mismatch = (brow != ai).astype(jnp.int32)
+        mismatch = (brow != ai).astype(cdtype)
         diag = jnp.where(validj, prev + mismatch, INF)
         up_src = pltpu.roll(prev, S - 1, axis=1)  # == jnp.roll(prev, -1)
         up_src = jnp.where(lane == S - 1, INF, up_src)
-        up = jnp.where(validj, up_src + 1, INF)
+        up = jnp.where(validj, up_src + cdtype(1), INF)
         D = jnp.minimum(diag, up)
         border = (j == 0) & (i <= md) & active
-        D = jnp.where(border, i, D)
+        D = jnp.where(border, i.astype(cdtype), D)
 
         # exact min-plus prefix scan (INSERT chains) by doubling
         rr = D
         for sh in doubling:
             shifted = pltpu.roll(rr, sh, axis=1)
             shifted = jnp.where(lane < sh, INF, shifted)
-            rr = jnp.minimum(rr, shifted + sh)
+            rr = jnp.minimum(rr, shifted + cdtype(sh))
         cur = jnp.where(validj | border, rr, INF)
 
         # early failure: cost(i, i) is lane W
-        diag_cell = _lane_pick(cur, lane, W)
+        diag_cell = _lane_pick(cur, lane, W, INF)
         fail_now = (active & (i > 10) & (i <= len_b) & (diag_cell > thr)).astype(
             jnp.int32
         )
         failed = jnp.maximum(failed, fail_now)
 
         # far-column running argmin: cost(i, len_b) at lane len_b - i + W
-        col_val = _lane_pick(cur, lane, len_b - i + W)
+        col_val = _lane_pick(cur, lane, len_b - i + W, INF)
         upd = active & (i >= len_b) & (col_val < best_col)
         best_col = jnp.where(upd, col_val, best_col)
         best_col_i = jnp.where(upd, i, best_col_i)
@@ -165,11 +176,11 @@ def _kernel(
         prev_ref[:] = jnp.where(active, cur, prev)
         return i + 1, failed, best_col, best_col_i
 
-    zeros = jnp.zeros((SUBLANES, 1), jnp.int32)
+    zeros = jnp.zeros((SL, 1), jnp.int32)
     _, failed, best_col, best_col_i = jax.lax.while_loop(
         loop_cond,
         row,
-        (jnp.int32(1), zeros, jnp.full((SUBLANES, 1), INF, jnp.int32), zeros),
+        (jnp.int32(1), zeros, jnp.full((SL, 1), INF, cdtype), zeros),
     )
 
     final_row = final_ref[:]
@@ -186,12 +197,16 @@ def _kernel(
     long = len_a > len_b
     matlen_a = jnp.where(long, best_col_i, len_a)
     matlen_b = jnp.where(long, len_b, mbS)
-    cost = jnp.where(long, best_col, costS)
-    diag_cost = jnp.where(len_a <= len_b, _lane_pick(final_row, lane, W), -1)
+    cost = jnp.where(long, best_col.astype(jnp.int32), costS.astype(jnp.int32))
+    diag_cost = jnp.where(
+        len_a <= len_b, _lane_pick(final_row, lane, W, INF).astype(jnp.int32), -1
+    )
 
-    accept = ((oksz_ref[:] != 0) & (failed == 0) & (cost < INF)).astype(jnp.int32)
+    accept = (
+        (oksz != 0) & (failed == 0) & (cost < jnp.int32(inf_val))
+    ).astype(jnp.int32)
 
-    lane_out = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, 128), 1)
+    lane_out = jax.lax.broadcasted_iota(jnp.int32, (SL, 128), 1)
     out = jnp.where(lane_out == 0, accept, 0)
     out = jnp.where(lane_out == 1, cost, out)
     out = jnp.where(lane_out == 2, matlen_a, out)
@@ -202,7 +217,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm", "interpret"),
+    static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm", "precision", "interpret"),
 )
 def batch_score_pallas(
     a: jax.Array,
@@ -215,6 +230,7 @@ def batch_score_pallas(
     ratio: float = Constants.MAXR,
     maxn: int = Constants.ALIGNER_MAXN,
     maxm: int = Constants.ALIGNER_MAXM,
+    precision: str = "auto",  # auto | int16 | int32
     interpret: bool = False,
 ) -> BatchScores:
     """Pallas TPU equivalent of scan.batch_score (same contract).
@@ -224,21 +240,32 @@ def batch_score_pallas(
     B0 = a.shape[0]
     LB = b.shape[1]
     S = _round_up(2 * w_max + 1, CHUNK)
+
+    # int16 viability: real costs <= la_max + w_max + 2; every doubling-scan
+    # intermediate <= INF16 + S; both must stay below int16 max
+    inf16 = 32767 - S - 2
+    use_i16 = precision == "int16" or (
+        precision == "auto" and la_max + w_max + 2 < inf16
+    )
+    if use_i16:
+        cdtype, inf_val, SL = jnp.int16, inf16, 16
+    else:
+        cdtype, inf_val, SL = jnp.int32, int(INF32), 8
+
     LA_pad = _round_up(max(la_max, a.shape[1]), CHUNK)
     EXT = LA_pad + S + CHUNK
     T_pad = LA_pad + 2 * CHUNK
     tab_len = max(la_max, LB) + 2
 
     early_thr_np, accept_min_np, band_tab_np = _threshold_tables(ratio, tab_len)
-    thr_full = np.full(T_pad, 0, np.int32)
+    thr_full = np.zeros(T_pad, np.int32)
     ncopy = min(tab_len + 1, T_pad)
     thr_full[:ncopy] = early_thr_np[:ncopy]
-    # rows past tab_len never pass the i<=len_b guard; pad value irrelevant
-    tab = jnp.asarray(thr_full[None, :])
+    tab = jnp.asarray(thr_full[None, :], dtype=cdtype)
     band_tab = jnp.asarray(band_tab_np)
     accept_min = jnp.asarray(accept_min_np)
 
-    a = a.astype(jnp.int32)
+    a = a.astype(cdtype)
     b = b.astype(jnp.int32)
     la = la.astype(jnp.int32)
     lb = lb.astype(jnp.int32)
@@ -254,7 +281,7 @@ def batch_score_pallas(
     ).astype(jnp.int32)
 
     # pad batch to a sublane multiple; padding rows are size-rejected
-    B = _round_up(max(B0, 1), SUBLANES)
+    B = _round_up(max(B0, 1), SL)
     dpad = B - B0
 
     def padb(x, fill=0):
@@ -274,32 +301,38 @@ def batch_score_pallas(
     gathered = jnp.take_along_axis(
         b, jnp.broadcast_to(jnp.clip(src, 0, LB - 1), (B0, EXT)), axis=1
     )
-    b_ext = padb(jnp.where(valid, gathered, -1), -1)
+    b_ext = padb(jnp.where(valid, gathered, -1), -1).astype(cdtype)
 
-    grid = (B // SUBLANES,)
+    grid = (B // SL,)
     cells = la_max * (2 * w_max + 1)
     out = pl.pallas_call(
-        functools.partial(_kernel, la_max=la_max, w_max=w_max, s_pad=S),
+        functools.partial(
+            _kernel,
+            la_max=la_max,
+            w_max=w_max,
+            s_pad=S,
+            sublanes=SL,
+            cdtype=cdtype,
+            inf_val=inf_val,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, LA_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, EXT), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, LA_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, EXT), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (SUBLANES, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((SL, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((SUBLANES, S), jnp.int32),
-            pltpu.VMEM((SUBLANES, S), jnp.int32),
-            pltpu.VMEM((SUBLANES, CHUNK), jnp.int32),
-            pltpu.VMEM((SUBLANES, S + CHUNK), jnp.int32),
-            pltpu.VMEM((1, 2 * CHUNK), jnp.int32),
+            pltpu.VMEM((SL, S), cdtype),
+            pltpu.VMEM((SL, S), cdtype),
+            pltpu.VMEM((SL, CHUNK), cdtype),
+            pltpu.VMEM((SL, S + CHUNK), cdtype),
+            pltpu.VMEM((1, 2 * CHUNK), cdtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=8 * B * cells, bytes_accessed=B * (LA_pad + EXT) * 4, transcendentals=0
