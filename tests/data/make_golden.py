@@ -101,5 +101,49 @@ def main():
     print("locator lines:", len(out.stdout.splitlines()))
 
 
+def make_variant_goldens():
+    """Additional parity configs: different ratio/weight/trials (+dump) and
+    a locked-reference run."""
+    rng = np.random.default_rng(43)
+    genome = rng.integers(0, 4, 3000).astype(np.uint8)
+    reads = []
+    for _ in range(60):
+        ln = int(rng.integers(650, 1000))
+        start = int(rng.integers(0, len(genome) - ln))
+        r = genome[start : start + ln].copy()
+        nerr = rng.binomial(ln, 0.05)
+        pos = rng.choice(ln, size=nerr, replace=False)
+        r[pos] = (r[pos] + rng.integers(1, 4, size=nerr)) % 4
+        reads.append(r)
+    with open(HERE / "synth2_reads.bin", "wb") as fh:
+        binary_io.write_records(fh, reads)
+    (HERE / "synth2_init.txt").write_text(
+        dna.codes_to_text(genome[1000:1800]) + "\n5\n"
+    )
+
+    # variant B: -r 0.25 -t 16 with dump
+    out = subprocess.run(
+        [str(REFBIN / "spaced_seed"),
+         "-f", str(HERE / "synth2_init.txt"),
+         "-r", "0.25", "-t", "16", "-m", "20",
+         "-d", str(HERE / "golden_dump_b.txt"),
+         str(HERE / "synth2_reads.bin"), str(HERE / "oneseed_full.txt")],
+        capture_output=True, text=True, check=True)
+    (HERE / "golden_consensus_b.txt").write_text(out.stdout)
+
+    # variant C: locked reference (-l)
+    out = subprocess.run(
+        [str(REFBIN / "spaced_seed"),
+         "-f", str(HERE / "synth2_init.txt"), "-l", "-m", "5",
+         str(HERE / "synth2_reads.bin"), str(HERE / "oneseed_full.txt")],
+        capture_output=True, text=True, check=True)
+    (HERE / "golden_consensus_locked.txt").write_text(out.stdout)
+    (HERE / "golden_log_locked.txt").write_text(out.stderr)
+    print("variant goldens written")
+
+
 if __name__ == "__main__":
-    main()
+    if "--variants" in sys.argv:
+        make_variant_goldens()
+    else:
+        main()

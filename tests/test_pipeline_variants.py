@@ -1,0 +1,77 @@
+"""Additional bit-parity configs vs the compiled reference: non-default
+ratio/trials/weight with -d dump comparison, and a locked (-l) reference."""
+
+import io
+import os
+
+import pytest
+
+from pacbioassembly_tpu.assemble import Assembler, ReadStore
+from pacbioassembly_tpu.codec.dna import load_patterns
+from pacbioassembly_tpu.config import AssemblyConfig
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def data(name):
+    return os.path.join(DATA, name)
+
+
+def run(cfg):
+    reads = ReadStore.from_file(data("synth2_reads.bin"), cfg)
+    patterns = load_patterns(data("oneseed_full.txt"))
+    dump = io.StringIO()
+    asm = Assembler(cfg, reads, patterns, dump=dump if cfg.dump_path else None)
+    out = io.StringIO()
+    asm.run(out=out, log=None)
+    return out.getvalue(), dump.getvalue(), asm
+
+
+def test_variant_ratio_trials_weight_and_dump():
+    """-r 0.25 -t 16, initial weight 5, with -d dump parity
+    (dump_seq, spaced_seed.cpp:126-133, 287-293)."""
+    cfg = AssemblyConfig(
+        initial_ref_path=data("synth2_init.txt"),
+        ratio=0.25,
+        max_trial=16,
+        max_round=20,
+        pattern_schedule="roundrobin",
+        quirk_init_newline=True,
+        quirk_seed_at=True,
+        dump_path="-",  # any truthy value wires the dump stream
+    )
+    out, dump, asm = run(cfg)
+    assert out == open(data("golden_consensus_b.txt")).read()
+    # The reference keeps the -f file's raw '\n' as a literal character in
+    # its text buffer (strncpy of the fgets line, spaced_seed.cpp:203), so
+    # round-1 dumps that span the old reference end print a newline
+    # mid-record; this engine stores the base as code 3 ('T', what C2I maps
+    # '\n' to and what evolve rewrites it as). Accept exactly that
+    # substitution when comparing.
+    golden = open(data("golden_dump_b.txt")).read()
+    assert len(dump) == len(golden)
+    for gc, mc in zip(golden, dump):
+        assert gc == mc or (gc == "\n" and mc == "T")
+
+
+def test_variant_locked_reference():
+    """-l: the reference is frozen — no votes, no growth, consensus dump
+    identical every round (ref_seq.h:259-266, locked)."""
+    cfg = AssemblyConfig(
+        initial_ref_path=data("synth2_init.txt"),
+        locked=True,
+        max_round=5,
+        pattern_schedule="roundrobin",
+        quirk_init_newline=True,
+        quirk_seed_at=True,
+    )
+    out, _, asm = run(cfg)
+    golden = open(data("golden_consensus_locked.txt")).read()
+    # same '\n'-as-base artifact as the dump test: the locked reference
+    # never evolves, so the bogus newline base stays in the printed
+    # consensus for the reference while this engine prints it as 'T'
+    assert len(out) == len(golden)
+    for gc, mc in zip(golden, out):
+        assert gc == mc or (gc == "\n" and mc == "T")
+    # reads still get consumed on successful locked alignment
+    assert len(asm.surviving) < 60
