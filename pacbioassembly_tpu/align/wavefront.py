@@ -59,8 +59,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _lane_pick(vec, lane, idx, big):
-    """Value at lane `idx` (traced) of each sublane, as (rows, 1)."""
-    return jnp.min(jnp.where(lane == idx, vec, big), axis=1, keepdims=True)
+    """Value at lane `idx` (traced) of each sublane, as (rows, 1).
+
+    Reduces in int32 — Mosaic has no int16 reductions."""
+    return jnp.min(
+        jnp.where(lane == idx, vec, big).astype(jnp.int32), axis=1, keepdims=True
+    )
 
 
 def _kernel(
@@ -160,14 +164,14 @@ def _kernel(
         cur = jnp.where(validj | border, rr, INF)
 
         # early failure: cost(i, i) is lane W
-        diag_cell = _lane_pick(cur, lane, W, INF)
+        diag_cell = _lane_pick(cur, lane, W, INF).astype(cdtype)
         fail_now = (active & (i > 10) & (i <= len_b) & (diag_cell > thr)).astype(
             jnp.int32
         )
         failed = jnp.maximum(failed, fail_now)
 
         # far-column running argmin: cost(i, len_b) at lane len_b - i + W
-        col_val = _lane_pick(cur, lane, len_b - i + W, INF)
+        col_val = _lane_pick(cur, lane, len_b - i + W, INF).astype(cdtype)
         upd = active & (i >= len_b) & (col_val < best_col)
         best_col = jnp.where(upd, col_val, best_col)
         best_col_i = jnp.where(upd, i, best_col_i)
@@ -183,11 +187,12 @@ def _kernel(
         (jnp.int32(1), zeros, jnp.full((SL, 1), INF, cdtype), zeros),
     )
 
-    final_row = final_ref[:]
+    final_row = final_ref[:].astype(jnp.int32)
+    INF_G = jnp.int32(inf_val)
     # goal cell, len_a <= len_b case: first minimum over lanes
     # [W, W + len_b - len_a] of the final row
     maskS = (lane >= W) & (lane <= W + (len_b - len_a))
-    rowm = jnp.where(maskS, final_row, INF)
+    rowm = jnp.where(maskS, final_row, INF_G)
     costS = jnp.min(rowm, axis=1, keepdims=True)
     kS = jnp.min(
         jnp.where(rowm == costS, lane, jnp.int32(1 << 30)), axis=1, keepdims=True
@@ -197,9 +202,11 @@ def _kernel(
     long = len_a > len_b
     matlen_a = jnp.where(long, best_col_i, len_a)
     matlen_b = jnp.where(long, len_b, mbS)
-    cost = jnp.where(long, best_col.astype(jnp.int32), costS.astype(jnp.int32))
+    cost = jnp.where(long, best_col.astype(jnp.int32), costS)
     diag_cost = jnp.where(
-        len_a <= len_b, _lane_pick(final_row, lane, W, INF).astype(jnp.int32), -1
+        len_a <= len_b,
+        jnp.min(jnp.where(lane == W, final_row, INF_G), axis=1, keepdims=True),
+        -1,
     )
 
     accept = (

@@ -196,19 +196,9 @@ class BatchAssembler:
             return res
         return score_batch(a_mat, la, b_mat, lb, la_max=LA, w_max=W, ratio=self.cfg.ratio)
 
-    def screen(self, cands: list[Candidate]) -> np.ndarray:
-        """Device-score all candidates vs the round-start reference.
-        Returns a bool accept vector aligned with `cands`."""
-        cfg = self.cfg
+    def _geometry(self, cands: list[Candidate]):
+        """Per-candidate segment/reference lengths vs the round-start ref."""
         ref = self.ref
-        accept = np.zeros(len(cands), dtype=bool)
-        if not cands:
-            return accept
-
-        # one launch per round: a single size bucket covering the largest
-        # candidate — per-launch latency dominates on remote links, and the
-        # kernel's 8-wide early exit makes the padding nearly free for
-        # shorter, length-sorted groups
         seg_len = np.zeros(len(cands), dtype=np.int64)
         ref_len = np.zeros(len(cands), dtype=np.int64)
         for n, c in enumerate(cands):
@@ -218,75 +208,129 @@ class BatchAssembler:
             seg_len[n] = slen - c.j
             p = ref.beg + c.r_offset
             ref_len[n] = (ref.post - p) if c.forward else (p - ref.pre + 1)
-        key = size_bucket(int(seg_len.max()), cfg.ratio)
-        buckets = {key: list(range(len(cands)))}
+        return seg_len, ref_len
 
-        for (LB, LA, W), idxs in buckets.items():
-            # sort by segment length (desc) so the kernel's 8-wide early-exit
-            # groups finish together
-            idxs = sorted(idxs, key=lambda n: -seg_len[n])
-            B = len(idxs)
-            a_mat = np.zeros((B, LA), dtype=np.uint8)
-            b_mat = np.zeros((B, LB), dtype=np.uint8)
-            la = np.zeros(B, dtype=np.int32)
-            lb = np.zeros(B, dtype=np.int32)
-            for bi, n in enumerate(idxs):
-                c = cands[n]
-                i = self.surviving[c.read]
-                codes = self.reads.codes(i)
-                if c.forward:
-                    seg = codes[c.j :]
-                else:
-                    seg = codes[: len(codes) - c.j][::-1]
-                p = ref.beg + c.r_offset
-                need = min(int(ref_len[n]), LA)
-                if c.forward:
-                    a = ref.buf[p : p + need]
-                else:
-                    a = ref.buf[p - need + 1 : p + 1][::-1]
-                a_mat[bi, : len(a)] = a
-                b_mat[bi, : len(seg)] = seg
-                la[bi] = ref_len[n]  # full accessor length (clamped in-kernel)
-                lb[bi] = len(seg)
-            # clamp la to what we materialized: the kernel's len_a =
-            # min(la, lb+md) <= LB + W + 1 = LA, so `need` rows always cover it
-            la = np.minimum(la, LA).astype(np.int32)
-            res = self._score(a_mat, la, b_mat, lb, LA, W)
-            acc = np.asarray(res.accept)
-            ma = np.asarray(res.matlen_a)
-            ok = acc & (ma >= cfg.overlap_min)
-            for bi, n in enumerate(idxs):
-                accept[n] = bool(ok[bi])
-            self.dp_cells_total += int(np.asarray(res.dp_rows).sum()) * (2 * W + 1)
+    def _materialize(self, cands, idxs, seg_len, ref_len, LB, LA):
+        """Pack candidate (ref, seg) code matrices for a device batch."""
+        ref = self.ref
+        B = len(idxs)
+        a_mat = np.zeros((B, LA), dtype=np.uint8)
+        b_mat = np.zeros((B, LB), dtype=np.uint8)
+        la = np.zeros(B, dtype=np.int32)
+        lb = np.zeros(B, dtype=np.int32)
+        for bi, n in enumerate(idxs):
+            c = cands[n]
+            i = self.surviving[c.read]
+            codes = self.reads.codes(i)
+            if c.forward:
+                seg = codes[c.j :]
+            else:
+                seg = codes[: len(codes) - c.j][::-1]
+            p = ref.beg + c.r_offset
+            need = min(int(ref_len[n]), LA)
+            if c.forward:
+                a = ref.buf[p : p + need]
+            else:
+                a = ref.buf[p - need + 1 : p + 1][::-1]
+            a_mat[bi, : len(a)] = a
+            b_mat[bi, : len(seg)] = seg
+            la[bi] = ref_len[n]  # full accessor length (clamped in-kernel)
+            lb[bi] = len(seg)
+        # clamp la to what we materialized: the kernel's len_a =
+        # min(la, lb+md) <= LB + W + 1 = LA, so `need` rows always cover it
+        la = np.minimum(la, LA).astype(np.int32)
+        return a_mat, la, b_mat, lb
+
+    def screen(self, cands: list[Candidate]) -> np.ndarray:
+        """Device-score all candidates vs the round-start reference.
+        Returns a bool accept vector aligned with `cands`."""
+        cfg = self.cfg
+        accept = np.zeros(len(cands), dtype=bool)
+        if not cands:
+            self._seg_len = self._ref_len = np.zeros(0, np.int64)
+            return accept
+
+        seg_len, ref_len = self._geometry(cands)
+        self._seg_len, self._ref_len = seg_len, ref_len
+
+        # one launch per round: a single size bucket covering the largest
+        # candidate — per-launch latency dominates on remote links, and the
+        # kernel's sublane-wide early exit makes the padding nearly free for
+        # shorter, length-sorted groups
+        LB, LA, W = size_bucket(int(seg_len.max()), cfg.ratio)
+        # sort by segment length (desc) so early-exit groups finish together
+        idxs = sorted(range(len(cands)), key=lambda n: -seg_len[n])
+        a_mat, la, b_mat, lb = self._materialize(cands, idxs, seg_len, ref_len, LB, LA)
+        res = self._score(a_mat, la, b_mat, lb, LA, W)
+        acc = np.asarray(res.accept)
+        ma = np.asarray(res.matlen_a)
+        ok = acc & (ma >= cfg.overlap_min)
+        for bi, n in enumerate(idxs):
+            accept[n] = bool(ok[bi])
+        self.dp_cells_total += int(np.asarray(res.dp_rows).sum()) * (2 * W + 1)
         return accept
 
     # ------------------------------------------------------------ phase B
 
     def commit(self, cands: list[Candidate], accept: np.ndarray) -> int:
-        """Sequentially commit each read's first accepted candidate through
-        the exact try_align path (votes + growth vs the current reference).
+        """Commit each read's first accepted candidate, in read order.
+
+        Interior alignments (the DP cannot reach the reference boundary:
+        ref_len > seg_len + max_dst, so growth is impossible and mid-phase
+        growth cannot change the DP) vote straight from the device
+        traceback pass. Boundary-capable alignments go through the exact
+        sequential try_align (votes + growth vs the CURRENT reference).
         Returns the number of consumed reads."""
         by_read: dict[int, list[int]] = {}
         for n, c in enumerate(cands):
             if accept[n]:
                 by_read.setdefault(c.read, []).append(n)
+        if not by_read:
+            return 0
+
+        seg_len, ref_len = self._seg_len, self._ref_len
+        chosen = {ridx: ns[0] for ridx, ns in by_read.items()}
+
+        # interior eligibility in float64 (same max_dst rule as the DP)
+        def interior(n):
+            sl, rl = int(seg_len[n]), int(ref_len[n])
+            md = 1 + int(min(sl, rl) * self.cfg.ratio)
+            return rl > sl + md
+
+        tb = {}
+        if self.cfg.device_traceback:
+            eligible = [n for n in chosen.values() if interior(n)]
+            if eligible:
+                tb = self._traceback_batch(cands, eligible, seg_len, ref_len)
 
         consumed = []
         for ridx in sorted(by_read):
             i = self.surviving[ridx]
             codes = self.reads.codes(i)
+            n0 = chosen[ridx]
             done = False
-            for n in by_read[ridx]:
-                c = cands[n]
-                seg = codes[c.j :] if c.forward else codes[: len(codes) - c.j][::-1]
-                res = self.ref.try_align(self._aligner, c.r_offset, seg, c.forward)
-                if res is not None:
-                    if self.dump is not None:
-                        ref_codes = self.ref.accessor(c.r_offset, c.forward)[: res.matlen_a]
-                        self.dump.write(dna.codes_to_text(ref_codes) + "\n")
-                        self.dump.write(dna.codes_to_text(seg[: res.matlen_b]) + "\n")
-                    done = True
-                    break
+            if n0 in tb:
+                ops, vals, matlen_a, matlen_b = tb[n0]
+                c = cands[n0]
+                self.ref.elect(c.r_offset, ops, vals, c.forward)
+                if self.dump is not None:
+                    seg = codes[c.j :] if c.forward else codes[: len(codes) - c.j][::-1]
+                    ref_codes = self.ref.accessor(c.r_offset, c.forward)[:matlen_a]
+                    self.dump.write(dna.codes_to_text(ref_codes) + "\n")
+                    self.dump.write(dna.codes_to_text(seg[:matlen_b]) + "\n")
+                done = True
+            if not done:
+                for n in by_read[ridx]:
+                    c = cands[n]
+                    seg = codes[c.j :] if c.forward else codes[: len(codes) - c.j][::-1]
+                    res = self.ref.try_align(self._aligner, c.r_offset, seg, c.forward)
+                    if res is not None:
+                        if self.dump is not None:
+                            ref_codes = self.ref.accessor(c.r_offset, c.forward)[: res.matlen_a]
+                            self.dump.write(dna.codes_to_text(ref_codes) + "\n")
+                            self.dump.write(dna.codes_to_text(seg[: res.matlen_b]) + "\n")
+                        done = True
+                        break
             if done:
                 consumed.append(ridx)
         consumed_set = set(consumed)
@@ -294,6 +338,41 @@ class BatchAssembler:
             i for r, i in enumerate(self.surviving) if r not in consumed_set
         ]
         return len(consumed)
+
+    def _traceback_batch(self, cands, idxs, seg_len, ref_len):
+        """Device traceback for the chosen interior candidates; returns
+        {candidate index: (ops, vals, matlen_a, matlen_b)} for those whose
+        traceback accepted (it reruns the identical DP, so it always agrees
+        with screening; the dict-miss fallback is the host path)."""
+        from ..align.traceback import batch_align_traceback
+
+        cfg = self.cfg
+        LB, LA, W = size_bucket(int(max(seg_len[n] for n in idxs)), cfg.ratio)
+        out = {}
+        CHUNK = 32
+        for lo in range(0, len(idxs), CHUNK):
+            part = idxs[lo : lo + CHUNK]
+            a_mat, la, b_mat, lb = self._materialize(
+                cands, part, seg_len, ref_len, LB, LA
+            )
+            res = batch_align_traceback(
+                a_mat, la, b_mat, lb, la_max=LA, w_max=W, ratio=cfg.ratio
+            )
+            acc = np.asarray(res.scores.accept)
+            ma = np.asarray(res.scores.matlen_a)
+            mb = np.asarray(res.scores.matlen_b)
+            ops = np.asarray(res.ops)
+            vals = np.asarray(res.vals)
+            ne = np.asarray(res.nedit)
+            for bi, n in enumerate(part):
+                if acc[bi] and ma[bi] >= cfg.overlap_min:
+                    out[n] = (
+                        ops[bi, : ne[bi]],
+                        vals[bi, : ne[bi]],
+                        int(ma[bi]),
+                        int(mb[bi]),
+                    )
+        return out
 
     # ------------------------------------------------------------ rounds
 

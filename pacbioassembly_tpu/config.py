@@ -81,6 +81,10 @@ class AssemblyConfig:
     # batch engine knobs
     batch_size: int = 128            # alignments screened per device batch
     bucket_max_candidates: int = 64  # max index hits expanded per (read, trial)
+    # commit interior alignments from the device traceback pass (edits
+    # computed on-device); boundary-capable alignments always take the
+    # sequential host path to preserve growth semantics
+    device_traceback: bool = True
 
     # capacity: max consensus length (reference MAX_SEQ_LEN, common.h:31);
     # unlike the reference's compile-time cap this is a runtime knob, so
