@@ -27,10 +27,10 @@ updates/s/chip). Design:
     by length so groups finish together;
   * 5 scalars per alignment leave the chip.
 
-int16 mode ("auto" precision) doubles sublane throughput whenever the
-whole cost range plus doubling-scan headroom fits: real costs are bounded
-by la_max + w_max + 2 and every intermediate by INF16 + S, so the mode is
-enabled iff la_max + w_max + 2 < 32767 - S - 2.
+int16 mode (precision="int16") would double sublane throughput whenever
+the cost range plus doubling-scan headroom fits (la_max + w_max + 2 <
+32767 - S - 2), but v5e hardware has no 16-bit vector comparisons, so it
+is only usable in interpret mode / future targets; "auto" picks int32.
 
 Parity: bit-identical decisions with align/scan.py and align/banded.py —
 every threshold comparison uses integer tables precomputed on host in
@@ -58,19 +58,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _lane_pick(vec, lane, idx, big):
-    """Value at lane `idx` (traced) of each sublane, as (rows, 1).
+def _roll_cost(x, sh, cdtype):
+    """Static lane roll of a cost array. tpu.dynamic_rotate only supports
+    32-bit lanes, so int16 arrays are bitcast to int32 (sublane-paired
+    packing keeps lane rotation semantics) around the roll."""
+    if cdtype == jnp.int16:
+        xi = pltpu.bitcast(x, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(xi, sh, axis=1), jnp.int16)
+    return pltpu.roll(x, sh, axis=1)
 
-    Reduces in int32 — Mosaic has no int16 reductions."""
-    return jnp.min(
-        jnp.where(lane == idx, vec, big).astype(jnp.int32), axis=1, keepdims=True
-    )
+
+def _lane_pick(vec, lane, idx, big):
+    """Value at lane `idx` (traced) of each int32 sublane row, as (rows, 1)."""
+    return jnp.min(jnp.where(lane == idx, vec, big), axis=1, keepdims=True)
 
 
 def _kernel(
-    tab_ref,      # (1, T) cdtype early-failure thresholds floor(i*R)
-    a_ref,        # (SL, LA_pad) cdtype codes of a
-    bext_ref,     # (SL, EXT) cdtype pre-shifted b codes (-1 sentinel)
+    tab_ref,      # (1, T) int32 early-failure thresholds floor(i*R)
+    a_ref,        # (SL, LA_pad) int32 codes of a
+    bext_ref,     # (SL, EXT) int32 pre-shifted b codes (-1 sentinel)
     md_ref,       # (SL, 1) int32 per-pair max_dst
     lena_ref,     # (SL, 1) int32
     lenb_ref,     # (SL, 1) int32
@@ -78,9 +84,9 @@ def _kernel(
     out_ref,      # (SL, 128) int32: lanes 0..4 = accept, cost, ma, mb, diag
     prev_ref,     # scratch (SL, S) cdtype
     final_ref,    # scratch (SL, S) cdtype
-    awin_ref,     # scratch (SL, CHUNK) cdtype
-    bwin_ref,     # scratch (SL, S + CHUNK) cdtype
-    twin_ref,     # scratch (1, 2 * CHUNK) cdtype
+    awin_ref,     # scratch (SL, CHUNK) int32 (dynamic rotates are int32-only)
+    bwin_ref,     # scratch (SL, S + CHUNK) int32
+    twin_ref,     # scratch (1, 2 * CHUNK) int32
     *,
     la_max: int,
     w_max: int,
@@ -93,37 +99,54 @@ def _kernel(
     SW = S + CHUNK
     W = w_max
     SL = sublanes
-    INF = cdtype(inf_val)
+    INF = cdtype(inf_val)  # noqa: used as a splat constant, never a scalar op
+    # two mask domains: selects over cost arrays need masks born in the cost
+    # dtype's tile layout (Mosaic cannot relayout i1 between 32- and 16-bit
+    # tilings), control/goal logic stays int32
     lane = jax.lax.broadcasted_iota(jnp.int32, (SL, S), 1)
+    lane_c = lane.astype(cdtype)  # 16-bit iota is not supported in hardware
     md = md_ref[:]
     len_a = lena_ref[:]
     len_b = lenb_ref[:]
+    # full-shape (SL, S) broadcasts: every int16-domain mask must be built
+    # from full-layout operands (Mosaic cannot relayout i1 between
+    # replicated and full layouts in 16-bit tiling)
+    zeros_f = jnp.zeros((SL, S), cdtype)
+    md_c = md.astype(cdtype) + zeros_f
+    lena_c = len_a.astype(cdtype) + zeros_f
+    lenb_c = len_b.astype(cdtype) + zeros_f
+    W_c = cdtype(w_max)
 
     # row 0 borders: cost(0, j) = j for 0 <= j <= min(len_b, md)
-    j0 = lane - W
+    j0 = lane_c - W_c
     prev_ref[:] = jnp.where(
-        (j0 >= 0) & (j0 <= jnp.minimum(len_b, md)), j0.astype(cdtype), INF
+        (j0 >= 0) & (j0 <= jnp.minimum(lenb_c, md_c)), j0, INF
     )
     final_ref[:] = jnp.full((SL, S), INF, cdtype)
 
     doubling = []
-    s = 1
-    while s < S:
-        doubling.append(s)
-        s <<= 1
+    sh = 1
+    while sh < S:
+        doubling.append((sh, lane_c < cdtype(sh)))
+        sh <<= 1
+    in_band = jnp.abs(lane_c - W_c) <= md_c
+    last_lane = lane_c == cdtype(S - 1)
 
     oksz = oksz_ref[:]
 
     def loop_cond(carry):
         # early exit: stop as soon as every pair in the group is finished
-        i, failed, best_col, best_col_i = carry
+        i, iv, failed, best_col, best_col_i = carry
         done = jnp.minimum(failed + (len_a < i).astype(jnp.int32) + (1 - oksz), 1)
         return (i <= la_max) & (jnp.min(done) == 0)
 
     def row(carry):
-        i, failed, best_col, best_col_i = carry
+        # iv is the row counter as a (SL,1) cdtype VECTOR — Mosaic only
+        # supports i32 scalars, so the int16 domain never sees scalar math
+        i, iv, failed, best_col, best_col_i = carry
         prev = prev_ref[:]
-        active = i <= len_a  # (SL,1) broadcasts over lanes
+        iv_f = iv + zeros_f  # full-layout row counter
+        active_c = iv_f <= lena_c
 
         im1 = i - 1
         r = jax.lax.rem(im1, CHUNK)
@@ -137,54 +160,61 @@ def _kernel(
             twin_ref[:] = tab_ref[:, pl.ds(b0, 2 * CHUNK)]
 
         # a[i-1] per pair: element r of the window
-        ai = pltpu.roll(awin_ref[:], CHUNK - r, axis=1)[:, 0:1]
+        ai = pltpu.roll(awin_ref[:], CHUNK - r, axis=1)[:, 0:1].astype(cdtype)
         # b window: brow[k] = b_ext[(i-1) + k] = element r+k of the window
-        brow = pltpu.roll(bwin_ref[:], SW - r, axis=1)[:, :S]
+        brow = pltpu.roll(bwin_ref[:], SW - r, axis=1)[:, :S].astype(cdtype)
         # early-failure threshold floor(i*R): element r+1 of the window
         thr = pltpu.roll(twin_ref[:], 2 * CHUNK - (r + 1), axis=1)[0:1, 0:1]
 
-        j = lane + (i - W)
-        in_band = jnp.abs(lane - W) <= md
-        validj = (j >= 1) & (j <= len_b) & in_band & active
-        mismatch = (brow != ai).astype(cdtype)
+        j = lane_c + (iv_f - W_c)
+        validj = (j >= 1) & (j <= lenb_c) & in_band & active_c
+        mismatch = (brow != (ai + zeros_f)).astype(cdtype)
         diag = jnp.where(validj, prev + mismatch, INF)
-        up_src = pltpu.roll(prev, S - 1, axis=1)  # == jnp.roll(prev, -1)
-        up_src = jnp.where(lane == S - 1, INF, up_src)
+        up_src = _roll_cost(prev, S - 1, cdtype)  # == jnp.roll(prev, -1)
+        up_src = jnp.where(last_lane, INF, up_src)
         up = jnp.where(validj, up_src + cdtype(1), INF)
         D = jnp.minimum(diag, up)
-        border = (j == 0) & (i <= md) & active
-        D = jnp.where(border, i.astype(cdtype), D)
+        border = (j == 0) & (iv_f <= md_c) & active_c
+        D = jnp.where(border, iv_f, D)
 
         # exact min-plus prefix scan (INSERT chains) by doubling
         rr = D
-        for sh in doubling:
-            shifted = pltpu.roll(rr, sh, axis=1)
-            shifted = jnp.where(lane < sh, INF, shifted)
+        for sh, edge_mask in doubling:
+            shifted = _roll_cost(rr, sh, cdtype)
+            shifted = jnp.where(edge_mask, INF, shifted)
             rr = jnp.minimum(rr, shifted + cdtype(sh))
         cur = jnp.where(validj | border, rr, INF)
+        cur32 = cur.astype(jnp.int32)
 
-        # early failure: cost(i, i) is lane W
-        diag_cell = _lane_pick(cur, lane, W, INF).astype(cdtype)
+        # early failure: cost(i, i) is lane W (int32 domain)
+        active = i <= len_a
+        diag_cell = _lane_pick(cur32, lane, W, jnp.int32(inf_val))
         fail_now = (active & (i > 10) & (i <= len_b) & (diag_cell > thr)).astype(
             jnp.int32
         )
         failed = jnp.maximum(failed, fail_now)
 
         # far-column running argmin: cost(i, len_b) at lane len_b - i + W
-        col_val = _lane_pick(cur, lane, len_b - i + W, INF).astype(cdtype)
+        col_val = _lane_pick(cur32, lane, len_b - i + W, jnp.int32(inf_val))
         upd = active & (i >= len_b) & (col_val < best_col)
         best_col = jnp.where(upd, col_val, best_col)
         best_col_i = jnp.where(upd, i, best_col_i)
 
-        final_ref[:] = jnp.where(len_a == i, cur, final_ref[:])
-        prev_ref[:] = jnp.where(active, cur, prev)
-        return i + 1, failed, best_col, best_col_i
+        final_ref[:] = jnp.where(lena_c == iv_f, cur, final_ref[:])
+        prev_ref[:] = jnp.where(active_c, cur, prev)
+        return i + 1, iv + jnp.ones((SL, 1), cdtype), failed, best_col, best_col_i
 
     zeros = jnp.zeros((SL, 1), jnp.int32)
-    _, failed, best_col, best_col_i = jax.lax.while_loop(
+    _, _, failed, best_col, best_col_i = jax.lax.while_loop(
         loop_cond,
         row,
-        (jnp.int32(1), zeros, jnp.full((SL, 1), INF, cdtype), zeros),
+        (
+            jnp.int32(1),
+            jnp.ones((SL, 1), cdtype),
+            zeros,
+            jnp.full((SL, 1), jnp.int32(inf_val)),
+            zeros,
+        ),
     )
 
     final_row = final_ref[:].astype(jnp.int32)
@@ -249,11 +279,12 @@ def batch_score_pallas(
     S = _round_up(2 * w_max + 1, CHUNK)
 
     # int16 viability: real costs <= la_max + w_max + 2; every doubling-scan
-    # intermediate <= INF16 + S; both must stay below int16 max
+    # intermediate <= INF16 + S; both must stay below int16 max. NOTE:
+    # v5e hardware has no 16-bit vector comparisons ("Target does not
+    # support this comparison"), so auto resolves to int32 there; int16 is
+    # kept for interpret mode and future targets via precision="int16".
     inf16 = 32767 - S - 2
-    use_i16 = precision == "int16" or (
-        precision == "auto" and la_max + w_max + 2 < inf16
-    )
+    use_i16 = precision == "int16" and la_max + w_max + 2 < inf16
     if use_i16:
         cdtype, inf_val, SL = jnp.int16, inf16, 16
     else:
@@ -268,11 +299,11 @@ def batch_score_pallas(
     thr_full = np.zeros(T_pad, np.int32)
     ncopy = min(tab_len + 1, T_pad)
     thr_full[:ncopy] = early_thr_np[:ncopy]
-    tab = jnp.asarray(thr_full[None, :], dtype=cdtype)
+    tab = jnp.asarray(thr_full[None, :], dtype=jnp.int32)
     band_tab = jnp.asarray(band_tab_np)
     accept_min = jnp.asarray(accept_min_np)
 
-    a = a.astype(cdtype)
+    a = a.astype(jnp.int32)
     b = b.astype(jnp.int32)
     la = la.astype(jnp.int32)
     lb = lb.astype(jnp.int32)
@@ -308,7 +339,7 @@ def batch_score_pallas(
     gathered = jnp.take_along_axis(
         b, jnp.broadcast_to(jnp.clip(src, 0, LB - 1), (B0, EXT)), axis=1
     )
-    b_ext = padb(jnp.where(valid, gathered, -1), -1).astype(cdtype)
+    b_ext = padb(jnp.where(valid, gathered, -1), -1)
 
     grid = (B // SL,)
     cells = la_max * (2 * w_max + 1)
@@ -337,9 +368,9 @@ def batch_score_pallas(
         scratch_shapes=[
             pltpu.VMEM((SL, S), cdtype),
             pltpu.VMEM((SL, S), cdtype),
-            pltpu.VMEM((SL, CHUNK), cdtype),
-            pltpu.VMEM((SL, S + CHUNK), cdtype),
-            pltpu.VMEM((1, 2 * CHUNK), cdtype),
+            pltpu.VMEM((SL, CHUNK), jnp.int32),
+            pltpu.VMEM((SL, S + CHUNK), jnp.int32),
+            pltpu.VMEM((1, 2 * CHUNK), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=8 * B * cells, bytes_accessed=B * (LA_pad + EXT) * 4, transcendentals=0
