@@ -147,3 +147,20 @@ if __name__ == "__main__":
         make_variant_goldens()
     else:
         main()
+
+
+def make_real_golden():
+    """Toy pipeline on the bundled real PacBio overlap pairs
+    (README.mkd:60-63): all 12 sequences as the read set, pair-1 reference
+    as the pinned initial reference."""
+    lines = (HERE / "real_align.txt").read_text().split()
+    with open(HERE / "real_reads.bin", "wb") as fh:
+        binary_io.write_records(fh, [dna.text_to_codes(l) for l in lines])
+    (HERE / "real_init.txt").write_text(lines[0] + "\n1\n")
+    out = subprocess.run(
+        [str(REFBIN / "spaced_seed"),
+         "-f", str(HERE / "real_init.txt"), "-m", "10",
+         str(HERE / "real_reads.bin"), str(HERE / "oneseed_spaced.txt")],
+        capture_output=True, text=True, check=True)
+    (HERE / "golden_consensus_real.txt").write_text(out.stdout)
+    print("real golden:", [len(x) for x in out.stdout.splitlines()])

@@ -169,3 +169,24 @@ def test_checkpoint_resume_mid_assembly():
     from pacbioassembly_tpu.codec import dna
 
     assert dna.codes_to_text(asm2.ref.text()) == final_golden
+
+
+def test_real_reads_toy_pipeline():
+    """Toy pipeline on the bundled real PacBio sequences (README.mkd:60-63):
+    byte-parity with the reference binary on real noisy data."""
+    cfg = AssemblyConfig(
+        initial_ref_path=data("real_init.txt"),
+        max_round=10,
+        pattern_schedule="roundrobin",
+        quirk_init_newline=True,
+        quirk_seed_at=True,
+    )
+    reads = ReadStore.from_file(data("real_reads.bin"), cfg)
+    patterns = load_patterns(data("oneseed_spaced.txt"))
+    asm = Assembler(cfg, reads, patterns)
+    out = io.StringIO()
+    asm.run(out=out, log=None)
+    golden = open(data("golden_consensus_real.txt")).read()
+    assert len(out.getvalue()) == len(golden)
+    for gc, mc in zip(golden, out.getvalue()):
+        assert gc == mc or (gc == "\n" and mc == "T")  # -f newline base artifact
