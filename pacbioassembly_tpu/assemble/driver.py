@@ -14,9 +14,8 @@ committed sequentially at end of round.
 from __future__ import annotations
 
 import dataclasses
-import sys
 from functools import partial
-from typing import Callable, Optional, TextIO
+from typing import Optional, TextIO
 
 import numpy as np
 

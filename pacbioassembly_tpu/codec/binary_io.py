@@ -11,8 +11,7 @@ loop otherwise.
 
 from __future__ import annotations
 
-import io
-from typing import Iterable, Iterator, Sequence, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import numpy as np
 

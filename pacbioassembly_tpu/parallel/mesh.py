@@ -8,7 +8,7 @@ Multi-host runs extend the same mesh over DCN via jax.distributed.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 from jax.sharding import Mesh

@@ -21,7 +21,6 @@ SURVEY.md §2.4 calls for.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -30,7 +29,7 @@ try:
     from jax import shard_map  # jax >= 0.7
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..align.scan import BatchScores, batch_score
 from ..align.types import DELETE, INSERT, MATCH

@@ -72,7 +72,6 @@ def cmd_assemble(args) -> int:
     dump = open(args.dump, "w") if args.dump else None
     try:
         if cfg.engine == "batch":
-            from .. import assemble as _asm
             from ..assemble.batch import BatchAssembler
 
             asm = BatchAssembler(cfg, reads, patterns, dump=dump)
@@ -138,7 +137,7 @@ def cmd_locate(args) -> int:
 
 def cmd_visualize(args) -> int:
     """Render alignments of (ref, seg) stdin pairs (visual_align.cpp:42-74)."""
-    from ..align import DELETE, INSERT, MATCH, exact_align
+    from ..align import INSERT, MATCH, exact_align
     from ..codec import dna
 
     words = sys.stdin.read().split()
