@@ -42,10 +42,24 @@ def exact_align(
     ratio: float = Constants.MAXR,
     maxn: int = Constants.ALIGNER_MAXN,
     maxm: int = Constants.ALIGNER_MAXM,
+    quirk_stale_dp: bool = False,
 ) -> AlignResult | None:
     lib = _get_native()
     if lib is not None:
         from ..native import pbcore
 
-        return pbcore.align(lib, a, b, ratio, maxn, maxm)
+        return pbcore.align(lib, a, b, ratio, maxn, maxm, quirk=quirk_stale_dp)
+    if quirk_stale_dp:
+        raise RuntimeError(
+            "quirk_stale_dp parity mode requires the native core (libpbcore.so)"
+        )
     return align_banded(a, b, ratio, maxn, maxm)
+
+
+def quirk_dp_reset() -> None:
+    """Reset the persistent quirk DP matrix to the fresh-process state."""
+    lib = _get_native()
+    if lib is not None:
+        from ..native import pbcore
+
+        pbcore.quirk_reset(lib)

@@ -72,12 +72,11 @@ class TrialSeedCache:
             bpos = slen - SEED_LEN - np.arange(T, dtype=np.int64)
             bpos = bpos[bpos >= 0][: T]
             if cfg.quirk_seed_at:
-                rec = reads.record(i)
                 fs = np.array(
-                    [dna.seed_at_quirk(rec, int(p)) for p in fpos], dtype=np.uint32
+                    [reads.quirk_seed(i, int(p)) for p in fpos], dtype=np.uint32
                 )
                 bs = np.array(
-                    [dna.seed_at_quirk(rec, int(p)) for p in bpos], dtype=np.uint32
+                    [reads.quirk_seed(i, int(p)) for p in bpos], dtype=np.uint32
                 )
             else:
                 fs = dna.encode_seeds(codes, fpos) if len(fpos) else np.empty(0, np.uint32)

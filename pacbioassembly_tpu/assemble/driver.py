@@ -97,7 +97,13 @@ class Assembler:
         self.ntrials_total = 0
         self.dp_cells_total = 0
         self.history: list[RoundStats] = []
-        self._aligner = partial(exact_align, ratio=cfg.ratio)
+        if cfg.quirk_stale_dp:
+            from ..align.dispatch import quirk_dp_reset
+
+            quirk_dp_reset()  # fresh-process matrix state per run
+        self._aligner = partial(
+            exact_align, ratio=cfg.ratio, quirk_stale_dp=cfg.quirk_stale_dp
+        )
 
     # ---------------------------------------------------------------- schedule
 
@@ -115,7 +121,7 @@ class Assembler:
 
     def _read_seed(self, i: int, pos: int) -> int:
         if self.cfg.quirk_seed_at:
-            return dna.seed_at_quirk(self.reads.record(i), pos)
+            return self.reads.quirk_seed(i, pos)
         return dna.encode_seed(self.reads.codes(i), pos)
 
     def _try_trial(self, i: int, pos: int, forward: bool, index, pattern: int) -> bool:

@@ -62,5 +62,24 @@ class ReadStore:
         ln = int(self.lengths[i])
         return self.buf[off : off + 4 + (ln + 3) // 4]
 
+    def quirk_seed(self, i: int, pos: int) -> int:
+        """Bit-parity replica of the reference's seed_at on this read,
+        including the aligned-pos fast-path bug (dna_seq.h:64): for
+        pos % 4 == 0 it reads the little-endian u32 at BYTE offset pos of
+        the payload — which for pos beyond the packed length runs past the
+        record into the following reads' bytes of the mmap'd file. Reads
+        beyond the buffer end are zero-filled (the mmap zero page)."""
+        if (pos & 0x3) == 0:
+            off = int(self.offsets[i]) + 4 + pos
+            chunk = np.zeros(4, dtype=np.uint32)
+            avail = self.buf[off : off + 4]
+            chunk[: len(avail)] = avail
+            return int(
+                chunk[0] | (chunk[1] << 8) | (chunk[2] << 16) | (chunk[3] << 24)
+            )
+        from ..codec import dna
+
+        return dna.seed_at(self.record(i), pos)
+
     def decode_all(self) -> list[np.ndarray]:
         return [self.codes(i).copy() for i in range(len(self))]

@@ -111,3 +111,8 @@ class AssemblyConfig:
     # trailing '\n' as a base (C2I('\n') == 3 == 'T'; spaced_seed.cpp:198-203).
     # True replicates that extra bogus base for bit-parity.
     quirk_init_newline: bool = False
+    # The reference's early-failure test reads stale cells of its persistent
+    # DP matrix for rows past len_b (seq_aligner.h:81,185-187 — undefined
+    # behavior whose outcome depends on ALL previous alignments). True runs
+    # the DP on a byte-layout emulation of that matrix (native core only).
+    quirk_stale_dp: bool = False

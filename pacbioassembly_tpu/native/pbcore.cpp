@@ -207,6 +207,186 @@ int pb_align(const uint8_t* a, int la, const uint8_t* b, int lb,
   return 1;
 }
 
+// ---------------------------------------------------------------------------
+// Quirk-parity aligner: byte-layout emulation of the reference's persistent
+// DP matrix.
+//
+// The reference keeps ONE seq_aligner instance per process whose
+// `state mat[MAXN][MAXM]` ({int cost; int parent} pairs) is never cleared
+// between alignments (seq_aligner.h:81). Its early-failure test reads
+// cost(i, i) for every row i > 10 — including rows i > len_b whose cells
+// were never written by the CURRENT alignment, so the value read is
+// whatever an EARLIER alignment left at that address (undefined behavior
+// that changes which alignments fail). Additionally, for max_dst >= MAXM/2
+// the stripe index j-i+max_dst exceeds MAXM and writes alias into the next
+// row (seq_aligner.h:104 guards only max_dst >= MAXM).
+//
+// pb_align_quirk reproduces both by running the DP on a persistent flat
+// {cost, parent} array addressed exactly like the reference's 2-D matrix
+// (flat index i*MAXM + k, pairs interleaved), freshly-zero on first use
+// (operator new of a GB-scale block yields zero pages). Same outputs as
+// pb_align plus bit-parity on the UB-dependent decisions for the geometry
+// the assembly driver can produce (len_a < MAXN always holds because reads
+// are < MAX_READ_LEN).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct QuirkArena {
+  std::vector<int32_t> flat;  // (rows * maxm) {cost, parent} pairs
+  int64_t rows = 0;
+  int maxm = 0;
+
+  void ensure(int64_t need_rows, int m) {
+    if (m != maxm) {
+      flat.clear();
+      rows = 0;
+      maxm = m;
+    }
+    if (need_rows > rows) {
+      flat.resize(static_cast<size_t>(need_rows) * m * 2, 0);
+      rows = need_rows;
+    }
+  }
+  int32_t* cell(int64_t i, int64_t k) {
+    return flat.data() + (i * maxm + k) * 2;
+  }
+};
+
+thread_local QuirkArena g_quirk;
+
+}  // namespace
+
+extern "C" int pb_align_quirk(const uint8_t* a, int la, const uint8_t* b, int lb,
+                              double ratio, int maxn, int maxm,
+                              int32_t* out_meta, uint8_t* out_ops,
+                              uint8_t* out_vals, int64_t out_cap) {
+  if (la <= 0 || lb <= 0) return 0;
+  const BandParams p = band_params(la, lb, ratio, maxn, maxm);
+  if (!p.ok) return 0;
+  const int len_a = p.len_a, len_b = p.len_b, md = p.max_dst;
+
+  QuirkArena& q = g_quirk;
+  // stripe index can reach 2*md, spilling (2*md - maxm)/maxm + 1 rows past
+  // row len_a in flat addressing — allocate headroom for the alias region
+  q.ensure(static_cast<int64_t>(len_a) + 4 + (2 * md) / maxm, maxm);
+
+  enum { M = 1, I = 2, D = 3 };
+  auto get = [&](int64_t i, int64_t j) { return q.cell(i, j - i + md); };
+
+  // init_cell (seq_aligner.h:139-150), written every call
+  for (int i = 1; i <= md; ++i) {
+    int32_t* c = get(i, 0);
+    c[0] = i;
+    c[1] = D;
+  }
+  for (int j = 1; j <= md; ++j) {
+    int32_t* c = get(0, j);
+    c[0] = j;
+    c[1] = I;
+  }
+  get(0, 0)[0] = 0;
+  get(0, 0)[1] = 0;
+
+  // search (seq_aligner.h:151-190) — reads and writes through the
+  // persistent flat matrix, early-failure test included verbatim
+  bool searched_ok = true;
+  for (int i = 1; i <= len_a && searched_ok; ++i) {
+    const int ac = a[i - 1];
+    const int beg = std::max(1, i - md);
+    const int end = std::min(len_b, i + md);
+    for (int j = beg; j <= end; ++j) {
+      int32_t t;
+      int32_t cost = get(i - 1, j - 1)[0] + (b[j - 1] != ac ? 1 : 0);
+      int32_t src = M;
+      if (i - j < md && (t = get(i, j - 1)[0] + 1) < cost) {
+        cost = t;
+        src = I;
+      }
+      if (j - i < md && (t = get(i - 1, j)[0] + 1) < cost) {
+        cost = t;
+        src = D;
+      }
+      int32_t* c = get(i, j);
+      c[0] = cost;
+      c[1] = src;
+    }
+    if (i > 10 && get(i, i)[0] > i * ratio) {
+      searched_ok = false;  // the UB-faithful early failure
+    }
+  }
+  if (!searched_ok) return 0;
+
+  // goal_cell (seq_aligner.h:191-213)
+  int matlen_a, matlen_b;
+  int32_t final_cost;
+  if (len_a > len_b) {
+    matlen_a = len_b;
+    matlen_b = len_b;
+    final_cost = get(len_b, len_b)[0];
+    for (int i = len_b + 1; i <= len_a; ++i) {
+      if (get(i, len_b)[0] < final_cost) {
+        final_cost = get(i, len_b)[0];
+        matlen_a = i;
+      }
+    }
+  } else {
+    matlen_a = len_a;
+    matlen_b = len_a;
+    final_cost = get(len_a, len_a)[0];
+    for (int j = len_a + 1; j <= len_b; ++j) {
+      if (get(len_a, j)[0] < final_cost) {
+        final_cost = get(len_a, j)[0];
+        matlen_b = j;
+      }
+    }
+  }
+  if (matlen_b < len_b * (1.0 - ratio)) return 0;
+
+  const int32_t diag_cost = (len_a <= len_b) ? get(len_a, len_a)[0] : -1;
+
+  // find_path (seq_aligner.h:214-233), iterative
+  int64_t n = 0;
+  {
+    int i = matlen_a, j = matlen_b;
+    for (;;) {
+      const int32_t par = get(i, j)[1];
+      if (par != M && par != I && par != D) break;
+      if (n >= out_cap) return -1;
+      if (par == M) {
+        out_ops[n] = M;
+        out_vals[n] = b[j - 1];
+        --i; --j;
+      } else if (par == I) {
+        out_ops[n] = I;
+        out_vals[n] = b[j - 1];
+        --j;
+      } else {
+        out_ops[n] = D;
+        out_vals[n] = 0;
+        --i;
+      }
+      ++n;
+    }
+    std::reverse(out_ops, out_ops + n);
+    std::reverse(out_vals, out_vals + n);
+  }
+
+  out_meta[0] = matlen_a;
+  out_meta[1] = matlen_b;
+  out_meta[2] = final_cost;
+  out_meta[3] = static_cast<int32_t>(n);
+  out_meta[4] = diag_cost;
+  return 1;
+}
+
+// Reset the quirk arena to the fresh-process state (zero matrix).
+extern "C" void pb_quirk_reset() {
+  g_quirk.flat.clear();
+  g_quirk.rows = 0;
+  g_quirk.maxm = 0;
+}
+
 // Walk the [u32 len][ceil(len/4) bytes] record chain of a file buffer.
 // Returns the record count; fills offsets/lengths up to cap entries.
 int64_t pb_scan_records(const uint8_t* buf, int64_t nbytes,

@@ -67,6 +67,10 @@ def load(optional: bool = False) -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_int, ctypes.c_int,
         i32p, u8p, u8p, ctypes.c_int64,
     ]
+    lib.pb_align_quirk.restype = ctypes.c_int
+    lib.pb_align_quirk.argtypes = lib.pb_align.argtypes
+    lib.pb_quirk_reset.restype = None
+    lib.pb_quirk_reset.argtypes = []
     lib.pb_scan_records.restype = ctypes.c_int64
     lib.pb_scan_records.argtypes = [u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
     lib.pb_pack.restype = None
@@ -82,6 +86,11 @@ def _u8ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def quirk_reset(lib: ctypes.CDLL) -> None:
+    """Zero the persistent quirk DP matrix (fresh-process emulation)."""
+    lib.pb_quirk_reset()
+
+
 def align(
     lib: ctypes.CDLL,
     a: np.ndarray,
@@ -89,6 +98,7 @@ def align(
     ratio: float = Constants.MAXR,
     maxn: int = Constants.ALIGNER_MAXN,
     maxm: int = Constants.ALIGNER_MAXM,
+    quirk: bool = False,
 ) -> Optional[AlignResult]:
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
@@ -96,7 +106,8 @@ def align(
     meta = np.zeros(5, dtype=np.int32)
     ops = np.empty(cap, dtype=np.uint8)
     vals = np.empty(cap, dtype=np.uint8)
-    rc = lib.pb_align(
+    fn = lib.pb_align_quirk if quirk else lib.pb_align
+    rc = fn(
         _u8ptr(a), len(a), _u8ptr(b), len(b),
         ctypes.c_double(ratio), maxn, maxm,
         meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

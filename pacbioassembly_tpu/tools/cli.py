@@ -61,6 +61,7 @@ def cmd_assemble(args) -> int:
         dump_path=args.dump,
         quirk_seed_at=args.quirk_seed_at,
         quirk_init_newline=args.quirk_init_newline,
+        quirk_stale_dp=args.quirk_stale_dp,
         max_seq_len=args.max_seq_len,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
@@ -219,6 +220,7 @@ def main(argv=None) -> int:
     p.add_argument("--rng-seed", type=int, default=None)
     p.add_argument("--quirk-seed-at", action="store_true")
     p.add_argument("--quirk-init-newline", action="store_true")
+    p.add_argument("--quirk-stale-dp", action="store_true")
     p.add_argument("--max-seq-len", type=int, default=800_000)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1)
