@@ -184,18 +184,19 @@ def _kernel(
             shifted = jnp.where(edge_mask, INF, shifted)
             rr = jnp.minimum(rr, shifted + cdtype(sh))
         cur = jnp.where(validj | border, rr, INF)
-        cur32 = cur.astype(jnp.int32)
 
         # early failure: cost(i, i) is lane W (int32 domain)
         active = i <= len_a
-        diag_cell = _lane_pick(cur32, lane, W, jnp.int32(inf_val))
+        diag_cell = _lane_pick(cur.astype(jnp.int32), lane, W, jnp.int32(inf_val))
         fail_now = (active & (i > 10) & (i <= len_b) & (diag_cell > thr)).astype(
             jnp.int32
         )
         failed = jnp.maximum(failed, fail_now)
 
         # far-column running argmin: cost(i, len_b) at lane len_b - i + W
-        col_val = _lane_pick(cur32, lane, len_b - i + W, jnp.int32(inf_val))
+        col_val = _lane_pick(
+            cur.astype(jnp.int32), lane, len_b - i + W, jnp.int32(inf_val)
+        )
         upd = active & (i >= len_b) & (col_val < best_col)
         best_col = jnp.where(upd, col_val, best_col)
         best_col_i = jnp.where(upd, i, best_col_i)
