@@ -33,10 +33,24 @@ class ReadStore:
         self._cache_codes: np.ndarray | None = None
 
     @classmethod
-    def from_file(cls, path: str, cfg: AssemblyConfig | None = None) -> "ReadStore":
+    def from_file(
+        cls, path: str, cfg: AssemblyConfig | None = None, mmap: bool | None = None
+    ) -> "ReadStore":
+        """Load a binary read file. Files over ~256 MB are memory-mapped by
+        default (the reference mmaps unconditionally, spaced_seed.cpp:324);
+        pass mmap=True/False to force."""
         cfg = cfg or AssemblyConfig()
+        import os
+
+        if mmap is None:
+            mmap = os.path.getsize(path) > 256 * 1024 * 1024
+        buf = (
+            np.memmap(path, dtype=np.uint8, mode="r")
+            if mmap
+            else np.fromfile(path, dtype=np.uint8)
+        )
         return cls(
-            np.fromfile(path, dtype=np.uint8),
+            buf,
             min_read_len=cfg.min_read_len,
             max_read_len=cfg.max_read_len,
         )

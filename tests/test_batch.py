@@ -57,3 +57,36 @@ def test_batch_engine_assembles_and_is_deterministic():
 
     asm2 = run_batch()
     np.testing.assert_array_equal(asm1.ref.text(), asm2.ref.text())
+
+
+def test_batch_engine_random_schedule_and_random_init():
+    """Smoke: batch engine with the reference-default randomized pattern
+    schedule and a random initial read, pinned by rng_seed."""
+    cfg = AssemblyConfig(
+        rng_seed=7,
+        max_round=10,
+        pattern_schedule="random",
+        engine="batch",
+    )
+    reads = ReadStore.from_file(data("synth_reads.bin"), cfg)
+    patterns = [
+        dna.parse_pattern(p)
+        for p in ["1111111111111111", "111**111*11*1111"]
+    ]
+    asm1 = BatchAssembler(cfg, reads, patterns)
+    asm1.run(out=io.StringIO(), log=None)
+    asm2 = BatchAssembler(
+        cfg, ReadStore.from_file(data("synth_reads.bin"), cfg), patterns
+    )
+    asm2.run(out=io.StringIO(), log=None)
+    assert asm1.ref.length() > 1000
+    np.testing.assert_array_equal(asm1.ref.text(), asm2.ref.text())
+
+
+def test_readstore_mmap_equivalent():
+    cfg = AssemblyConfig()
+    r1 = ReadStore.from_file(data("synth_reads.bin"), cfg, mmap=False)
+    r2 = ReadStore.from_file(data("synth_reads.bin"), cfg, mmap=True)
+    assert len(r1) == len(r2)
+    np.testing.assert_array_equal(r1.codes(3), r2.codes(3))
+    assert r1.quirk_seed(0, 4) == r2.quirk_seed(0, 4)
