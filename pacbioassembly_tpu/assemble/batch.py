@@ -377,6 +377,7 @@ class BatchAssembler:
 
     def run_round(self, log: Optional[TextIO] = None) -> RoundStats:
         self.nround += 1
+        cells_before = self.dp_cells_total
         pattern = self._pick_pattern()
         index, n_indexed = build_seedmap(self.ref.text(), pattern)
         cands = expand_candidates(
@@ -400,7 +401,7 @@ class BatchAssembler:
             nmatches=nmatches,
             ntrials=len(cands),
             nreads_left=len(self.surviving),
-            dp_cells=0,
+            dp_cells=self.dp_cells_total - cells_before,
         )
         self.history.append(stats)
         return stats
@@ -416,6 +417,10 @@ class BatchAssembler:
             from .checkpoint import load_checkpoint
 
             load_checkpoint(cfg.resume_path, self)
+        from ..utils import profiled
+
+        profile_ctx = profiled(cfg.profile_dir)
+        profile_ctx.__enter__()
         max_round = cfg.max_round if cfg.max_round is not None else 1 << 31
         while self.nround < max_round:
             stats = self.run_round(log=log)
@@ -441,6 +446,7 @@ class BatchAssembler:
             from .checkpoint import save_checkpoint
 
             save_checkpoint(cfg.checkpoint_path, self)
+        profile_ctx.__exit__(None, None, None)
         if metrics:
             metrics.close()
         return self.ref

@@ -239,6 +239,10 @@ class Assembler:
             from .checkpoint import load_checkpoint
 
             load_checkpoint(cfg.resume_path, self)
+        from ..utils import profiled
+
+        profile_ctx = profiled(cfg.profile_dir)
+        profile_ctx.__enter__()
         max_round = cfg.max_round if cfg.max_round is not None else 1 << 31
         while self.nround < max_round:
             if log:
@@ -266,6 +270,7 @@ class Assembler:
             from .checkpoint import save_checkpoint
 
             save_checkpoint(cfg.checkpoint_path, self)
+        profile_ctx.__exit__(None, None, None)
         if metrics:
             metrics.close()
         return self.ref
