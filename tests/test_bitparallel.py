@@ -52,3 +52,32 @@ def test_bitparallel_long_reads():
         got = bp_score(a, b, 0.3)
         want = None if ref is None else (ref.cost, ref.matlen_a, ref.matlen_b, ref.diag_cost)
         assert got == want
+
+
+def test_batched_wordvector_matches_banded():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_scan import make_cases, pack
+    from pacbioassembly_tpu.align.bitscan import batch_score_bp
+
+    rng = np.random.default_rng(5)
+    cases = make_cases(rng, 32, max_len=80)
+    LA, LB, W = 96, 96, 32
+    A, las, Bm, lbs = pack(cases, LA, LB)
+    res = batch_score_bp(A, las, Bm, lbs, la_max=LA, w_max=W, ratio=0.3)
+    acc = np.asarray(res.accept)
+    cost = np.asarray(res.cost)
+    ma = np.asarray(res.matlen_a)
+    mb = np.asarray(res.matlen_b)
+    dc = np.asarray(res.diag_cost)
+    n_acc = 0
+    for i, (a, b) in enumerate(cases):
+        ref = align_banded(a, b, 0.3)
+        if ref is None:
+            assert not acc[i], i
+            continue
+        assert acc[i], i
+        assert (cost[i], ma[i], mb[i], dc[i]) == (
+            ref.cost, ref.matlen_a, ref.matlen_b, ref.diag_cost), i
+        n_acc += 1
+    assert n_acc >= 10
