@@ -1,6 +1,7 @@
 """Headline benchmark: banded-DP cell updates/s/chip.
 
-Runs the Pallas wavefront screening kernel on the real TPU over batches of
+Runs the bit-parallel Pallas screening kernel (align/bitwave.py) on the
+real TPU over batches of
 PacBio-like alignments (2 kb reads, 10% divergence, ratio 0.3 band) with
 fresh data per iteration (defeats the axon remote-execution result cache)
 and reports the median throughput in *reference-equivalent* DP cells —
@@ -65,7 +66,7 @@ def reference_cells(la, lb, ratio):
 def bench_tpu(B=256, LB=2048, iters=8):
     import jax
 
-    from pacbioassembly_tpu.align.wavefront import batch_score_pallas
+    from pacbioassembly_tpu.align.bitwave import batch_score_bitpallas
 
     ratio = 0.3
     W = 1 + int(LB * ratio)
@@ -86,7 +87,7 @@ def bench_tpu(B=256, LB=2048, iters=8):
     def run(dev_batch):
         a, la, b, lb = dev_batch
         if use_pallas:
-            res = batch_score_pallas(a, la, b, lb, la_max=LA, w_max=W, ratio=ratio)
+            res = batch_score_bitpallas(a, la, b, lb, la_max=LA, w_max=W, ratio=ratio)
         else:
             from pacbioassembly_tpu.align.scan import batch_score
 

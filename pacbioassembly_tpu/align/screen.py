@@ -19,7 +19,8 @@ _backend_cache: Optional[str] = None
 
 
 def screening_backend() -> str:
-    """'pallas' on TPU, 'scan' otherwise; override with PBTPU_SCREEN_BACKEND."""
+    """'bitpallas' on TPU (the bit-parallel kernel), 'scan' otherwise;
+    override with PBTPU_SCREEN_BACKEND (bitpallas | pallas | scan)."""
     global _backend_cache
     if _backend_cache is None:
         forced = os.environ.get("PBTPU_SCREEN_BACKEND")
@@ -32,7 +33,7 @@ def screening_backend() -> str:
                 platform = jax.devices()[0].platform
             except Exception:
                 platform = "cpu"
-            _backend_cache = "pallas" if platform == "tpu" else "scan"
+            _backend_cache = "bitpallas" if platform == "tpu" else "scan"
     return _backend_cache
 
 
@@ -50,6 +51,14 @@ def score_batch(
     backend: Optional[str] = None,
 ) -> BatchScores:
     backend = backend or screening_backend()
+    if backend == "bitpallas" or backend == "bitpallas_interpret":
+        from .bitwave import batch_score_bitpallas
+
+        return batch_score_bitpallas(
+            a, la, b, lb,
+            la_max=la_max, w_max=w_max, ratio=ratio, maxn=maxn, maxm=maxm,
+            interpret=(backend == "bitpallas_interpret"),
+        )
     if backend == "pallas" or backend == "pallas_interpret":
         from .wavefront import batch_score_pallas
 

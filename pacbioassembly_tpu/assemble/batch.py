@@ -188,7 +188,7 @@ class BatchAssembler:
             res = sharded_screen(
                 self._mesh, a_mat, la, b_mat, lb,
                 la_max=LA, w_max=W, ratio=self.cfg.ratio,
-                backend="pallas" if backend == "pallas" else "scan",
+                backend=backend if backend in ("pallas", "bitpallas") else "scan",
             )
             if pad:
                 res = BatchScores(*(x[:B] for x in res))

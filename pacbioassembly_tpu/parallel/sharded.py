@@ -94,6 +94,12 @@ def sharded_screen(
     multiple of mesh size; outputs are sharded the same way."""
 
     def kernel(a_s, la_s, b_s, lb_s):
+        if backend == "bitpallas":
+            from ..align.bitwave import batch_score_bitpallas
+
+            return batch_score_bitpallas(
+                a_s, la_s, b_s, lb_s, la_max=la_max, w_max=w_max, ratio=ratio
+            )
         if backend == "pallas":
             from ..align.wavefront import batch_score_pallas
 
