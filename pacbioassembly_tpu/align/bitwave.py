@@ -8,9 +8,12 @@ word-vectorized algebra this kernel executes; see its derivation notes).
 
 Design (all parity-critical choices are pinned by tests/test_bitwave.py):
 
-  * 8 alignments per grid program, one per sublane; each pair's band
-    stripe is a multiword bitvector across lanes (word p>>5, bit p&31);
-    one column of the DP costs ~O(WORDS/32) of the row kernel's work.
+  * SL x NB alignments per grid program: SL=32 sublanes, and when the
+    band fits, NB pair-blocks side by side in the 128-lane dimension
+    (each pair's stripe is a multiword bitvector in its block's lanes;
+    every cross-word lane roll is re-masked at block boundaries). Wide
+    arrays amortize Mosaic's fixed per-op cost — this, not op count, is
+    the first-order performance knob on v5e.
 
   * transpose normalization: edit distance is symmetric and the band and
     the early-failure diagonal cells are orientation-invariant, so pairs
@@ -20,34 +23,40 @@ Design (all parity-critical choices are pinned by tests/test_bitwave.py):
     (seq_aligner.h:205-212) is recovered OUTSIDE the kernel from the final
     column's vertical deltas (validated exhaustively vs the banded DP).
 
-  * center-aligned bit coordinates: row j at column i lives at bit
-    q = CEN + (j - i) with CEN static (CEN % 32 == 16), so the center
-    score bits (q = CEN-1, CEN), the border-row injection (q = CEN - i),
-    and the PM window offset (exactly i) are uniform across pairs; only
-    the stripe mask [CEN-md, CEN+md] and the top-bit mask (CEN+md) vary
-    per pair, and those are precomputed host-side tensors.
+  * center-aligned bit coordinates: row j at column i lives at the
+    block-local bit q = CEN + (j - i) with CEN static (CEN % 32 == 16),
+    so the center-score bits (q = CEN-1, CEN), the border-row injection
+    (q = CEN - i), and the PM window offset (exactly i) are uniform
+    across pairs; only the stripe mask [CEN-md, CEN+md] and the top-bit
+    mask (CEN+md) vary per pair, and those are precomputed host-side.
+
+  * p-domain recurrence: the carried state is the SHIFTED deltas
+    (VPp = shr1(VP) | top, VNp = shr1(VN)); shr1 distributes over &/| and
+    cancels shl1, so one column needs a single cross-word roll for the
+    state update instead of four.
+
+  * the center score D(i,i) is accumulated per-lane (every lane adds the
+    delta bits of its own word; only the lane holding word CEN>>5 is the
+    real score, read back at the end) — no cross-lane extraction in the
+    loop at all.
 
   * 32-column unrolled blocks: the while_loop advances 32 columns per
     iteration (block k covers i in [32k, 32k+31]), so the PEQ window
     refresh is unconditional once per block, every in-word bit offset is
-    STATIC inside the unrolled body, and scalar loop overhead amortizes
-    over 32 columns — this is what makes the column loop VPU-bound
-    instead of control-bound.
+    STATIC inside the unrolled body, and scalar loop overhead amortizes.
 
   * the Myers addition's cross-word carries resolve with a Kogge-Stone
     prefix over (generate, propagate) word masks, using X subset-of VPp
-    to shorten the generate term; every word-shift is a lane roll (tpu
-    dynamic_rotate, int32 lanes — uint32 is bitcast around rolls) with
-    wrapped lanes re-zeroed.
+    to shorten the generate term.
 
   * a while_loop exits as soon as every pair in the program is finished
-    (early-failed / size-rejected / past its last column), at block
+    (early-failed / size-rejected / past its last column), at 32-column
     granularity.
 
-Outputs per pair: final-column VP/VN words + the center score; the XLA
-wrapper computes goal cells, un-transposes, and applies the acceptance
-thresholds (integer tables precomputed on host in float64 — no float32
-on device, matching scan.py).
+Outputs per pair: final-column p-domain VP/VN words + the center score;
+the XLA wrapper computes goal cells, un-transposes, and applies the
+acceptance thresholds (integer tables precomputed on host in float64 —
+no float32 on device, matching scan.py).
 """
 
 from __future__ import annotations
@@ -66,6 +75,7 @@ from .scan import BatchScores, _threshold_tables
 INF32 = np.int32(1 << 28)
 CHUNK = 128
 UNROLL = 32
+SL = 64  # sublanes (pairs) per program row
 U32 = jnp.uint32
 FULL = np.uint32(0xFFFFFFFF)
 
@@ -75,11 +85,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _plan(w_max: int):
-    """Static geometry: center bit, word count, padded lane width."""
+    """Static geometry: center bit, words per stripe, lane width, blocks."""
     cen = 16 if w_max <= 16 else _round_up(w_max - 16, 32) + 16
     words = (cen + w_max) // 32 + 2  # stripe top + carry-overflow slack
     lanes = _round_up(words + 1, CHUNK)
-    return cen, words, lanes
+    nb = 1  # lane-blocking measured slower to compile+run than wide sublanes
+    bw = lanes // nb
+    return cen, words, lanes, nb, bw
 
 
 def _roll(x, sh):
@@ -88,47 +100,62 @@ def _roll(x, sh):
 
 
 def _kernel(
-    tab_ref,    # (1, T_pad) int32 thresholds floor(i*R), indexed by column
-    ka_ref,     # (SL, KA) int32 codes of kernel-a, PRE-SHIFTED: ka[t]=a[t-1]
-    peq_ref,    # (SL, 4*PBL) uint32 per-letter match bits of kernel-b
-    smask_ref,  # (SL, L) uint32 stripe mask [CEN-md, CEN+md]
-    tmask_ref,  # (SL, L) uint32 top bit CEN+md
-    md_ref,     # (SL, 1) int32
-    lena_ref,   # (SL, 1) int32 kernel len_a (= min(len_a, len_b))
-    oksz_ref,   # (SL, 1) int32 size-accept flag
-    words_ref,  # out (SL, 2L) uint32: [final VP | final VN]
-    scal_ref,   # out (SL, 128) int32: lane 0 = center score, 1 = failed
-    pwin_ref,   # scratch (SL, 4*L) uint32 PEQ windows (letter-major)
-    awin_ref,   # scratch (SL, CHUNK) int32
-    twin_ref,   # scratch (1, CHUNK) int32
+    tab_ref,    # (1, T_pad) int32 thresholds floor(i*R) in SMEM (scalar reads)
+    ka_ref,     # (SL, NB*KA) int32 kernel-a codes, PRE-SHIFTED: ka[t]=a[t-1]
+    peq_ref,    # (SL, NB*4*PBL) uint32 per-letter match bits of kernel-b
+    smask_ref,  # (SL, L) uint32 stripe mask [CEN-md, CEN+md] (block-local)
+    tmask_ref,  # (SL, L) uint32 top bit CEN+md (block-local)
+    md_ref,     # (SL, L) int32 (broadcast over each pair's block lanes)
+    lena_ref,   # (SL, L) int32 kernel len_a (= min(len_a, len_b))
+    oksz_ref,   # (SL, L) int32 size-accept flag
+    words_ref,  # out (SL, 2L) uint32: [final VPp | final VNp]
+    scal_ref,   # out (SL, 2L) int32: [S_c per lane | failed per lane]
+    pwin_ref,   # scratch (SL, 4*L) uint32 PEQ windows (letter-major, blocked)
+    awin_ref,   # scratch (SL, NB*CHUNK) int32
     *,
     cols_max: int,
     cen: int,
     words: int,
     lanes: int,
+    nb: int,
+    bw: int,
     pbl: int,
-    sublanes: int,
 ):
     L = lanes
-    SL = sublanes
-    WC = cen >> 5  # word holding bits CEN-1 (bit 15) and CEN (bit 16)
+    NB = nb
+    BW = bw
+    WC = cen >> 5  # block-local word holding bits CEN-1 (15) / CEN (16)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SL, L), 1)
+    lane_mod = jax.lax.rem(lane, BW) if NB > 1 else lane
     up_masks = {}
     sh = 1
     while sh < words:
-        up_masks[sh] = (lane >= sh).astype(U32) * FULL
+        up_masks[sh] = (lane_mod >= sh).astype(U32) * FULL
         sh <<= 1
     if 1 not in up_masks:
-        up_masks[1] = (lane >= 1).astype(U32) * FULL
-    not_last = (lane < L - 1).astype(U32) * FULL
+        up_masks[1] = (lane_mod >= 1).astype(U32) * FULL
+    not_last = (lane_mod < BW - 1).astype(U32) * FULL
+    if NB > 1:
+        blockmask = [
+            ((lane >= b * BW) & (lane < (b + 1) * BW)).astype(U32) * FULL
+            for b in range(NB)
+        ]
+        blocksel = [(lane >= b * BW) & (lane < (b + 1) * BW) for b in range(NB)]
+    centermask = (lane_mod == WC) & (lane < NB * BW)
 
     def shr1(x):
-        hi = _roll(x, L - 1) & not_last  # word v <- v+1 (wrap zeroed)
+        hi = _roll(x, L - 1) & not_last  # word v <- v+1 (block wrap zeroed)
         return (x >> U32(1)) | (hi << U32(31))
 
-    def shl1(x):
-        up = _roll(x, 1) & up_masks[1]  # word v <- v-1 (lane 0 zeroed)
-        return (x << U32(1)) | (up >> U32(31))
+    def up(x, sh):
+        """Word v <- v-sh. The roll wraps old lanes [L-sh, L) into [0, sh);
+        when every live word sits below L-sh (gen/prop are zero above
+        `words`), the wrapped-in lanes are zeros and the mask is free."""
+        r = pltpu.roll(x, sh, axis=1)
+        # NOTE: the mask is provably redundant when words <= L - sh (the
+        # wrapped lanes are zero), but dropping it was measured to inflate
+        # Mosaic compile time 4.6s -> 63s for a 2% runtime win — keep it.
+        return r & pltpu.bitcast(up_masks[sh], jnp.int32)
 
     def add_carry(x, y):
         """x + y with carry lookahead; requires x & y == x (subset)."""
@@ -140,54 +167,57 @@ def _kernel(
         )
         sh = 1
         while sh < words:
-            m = pltpu.bitcast(up_masks[sh], jnp.int32)
-            gen = gen | (prop & (pltpu.roll(gen, sh, axis=1) & m))
-            prop = prop & (pltpu.roll(prop, sh, axis=1) & m)
+            gen = gen | (prop & up(gen, sh))
+            if sh * 2 < words:
+                prop = prop & up(prop, sh)
             sh <<= 1
-        cin = pltpu.bitcast(
-            pltpu.roll(gen, 1, axis=1) & pltpu.bitcast(up_masks[1], jnp.int32), U32
-        ) & U32(1)
+        cin = pltpu.bitcast(up(gen, 1), U32) & U32(1)
         return s + cin
-
-    def pick_wc(x):
-        """(SL, 1) int32 word WC of each sublane's bitvector."""
-        if WC == 0:
-            return pltpu.bitcast(x[:, 0:1], jnp.int32)
-        return pltpu.bitcast(_roll(x, L - WC)[:, 0:1], jnp.int32)
 
     smask = smask_ref[:]
     tmask = tmask_ref[:]
+    smask_p = shr1(smask)  # stripe mask of the p-domain state
     md = md_ref[:]
     lena = lena_ref[:]
     oksz = oksz_ref[:]
 
-    nblk4 = 4  # awin/twin refresh period in blocks (4 * 32 = 128 columns)
-
     def loop_cond(carry):
-        k, VP, VN, S_c, failed, fVP, fVN = carry
+        k, VPp, VNp, S_c, failed, fVP, fVN = carry
         i0 = k * UNROLL
         done = jnp.minimum(failed + (lena < i0).astype(jnp.int32) + (1 - oksz), 1)
-        return (i0 <= cols_max) & (jnp.min(done) == 0)
+        return (i0 <= cols_max) & (jnp.min(jnp.where(centermask, done, 1)) == 0)
 
     def block(carry):
-        k, VP, VN, S_c, failed, fVP, fVN = carry
+        k, VPp, VNp, S_c, failed, fVP, fVN = carry
         i0 = k * UNROLL
 
-        # PEQ window for bits [32k, 32k + 32L): one rotate per letter/block
+        # PEQ window for bits [32k, 32k + ...): one rotate per letter/block
         for c in range(4):
-            pwin_ref[:, c * L : (c + 1) * L] = _roll(
-                peq_ref[:, c * pbl : (c + 1) * pbl], pbl - k
-            )[:, :L]
+            if NB == 1:
+                pwin_ref[:, c * L : (c + 1) * L] = _roll(
+                    peq_ref[:, c * pbl : (c + 1) * pbl], pbl - k
+                )[:, :L]
+            else:
+                acc = None
+                for b in range(NB):
+                    seg = peq_ref[:, (b * 4 + c) * pbl : (b * 4 + c + 1) * pbl]
+                    rolled = _roll(seg, (b * BW - k) % pbl) & blockmask[b]
+                    acc = rolled if acc is None else (acc | rolled)
+                pwin_ref[:, c * L : (c + 1) * L] = acc
 
-        @pl.when(jax.lax.rem(k, nblk4) == 0)
+        @pl.when(jax.lax.rem(k, 4) == 0)
         def _refresh_a():
-            b0 = pl.multiple_of(i0, CHUNK)
-            awin_ref[:] = ka_ref[:, pl.ds(b0, CHUNK)]
-            twin_ref[:] = tab_ref[:, pl.ds(b0, CHUNK)]
+            b0 = i0  # multiple of 128 when k % 4 == 0
+            for b in range(NB):
+                awin_ref[:, b * CHUNK : (b + 1) * CHUNK] = ka_ref[
+                    :, pl.ds(pl.multiple_of(b0 + b * (ka_ref.shape[1] // NB), CHUNK), CHUNK)
+                ]
 
         off = (i0 - (i0 // CHUNK) * CHUNK).astype(jnp.int32)
-        aiw = pltpu.roll(awin_ref[:], CHUNK - off, axis=1)  # lanes r: a[i0+r-1]
-        thw = pltpu.roll(twin_ref[:], CHUNK - off, axis=1)  # lanes r: thr[i0+r]
+        aiw = [
+            pltpu.roll(awin_ref[:, b * CHUNK : (b + 1) * CHUNK], CHUNK - off, axis=1)
+            for b in range(NB)
+        ]  # lanes r: a[i0+r-1] per block
 
         p0 = pwin_ref[:, 0 * L : 1 * L]
         p1 = pwin_ref[:, 1 * L : 2 * L]
@@ -200,20 +230,26 @@ def _kernel(
             if r == 0:
                 active = active & (k > 0)  # block 0 starts at column 1
 
-            ai = aiw[:, r : r + 1]
-            thr = thw[0:1, r : r + 1]
+            if NB == 1:
+                ai = aiw[0][:, r : r + 1]
+            else:
+                ai = aiw[NB - 1][:, r : r + 1]
+                for b in range(NB - 2, -1, -1):
+                    ai = jnp.where(blocksel[b], aiw[b][:, r : r + 1], ai)
+            thr = tab_ref[0, i]  # SMEM scalar read -> splat compare
             bit0 = (ai & 1) == 1
             bit1 = (ai >> 1) == 1
             sel = jnp.where(bit1, jnp.where(bit0, p3, p2), jnp.where(bit0, p1, p0))
             if r == 0:
                 PM = sel & smask
             else:
-                sel_hi = _roll(sel, L - 1)  # wrap garbage masked by smask
+                sel_hi = _roll(sel, L - 1)  # cross-block wrap masked by smask
                 PM = ((sel >> U32(r)) | (sel_hi << U32(32 - r))) & smask
 
-            VPp = shr1(VP) | tmask
-            VNp = shr1(VN)
-
+            # p-domain recurrence: the carried state IS the shifted deltas
+            # VPp = shr1(VP)|tmask, VNp = shr1(VN) — shr1 distributes over
+            # &/| and cancels shl1, so the whole column needs ONE roll for
+            # the state update (shr1(Xv)) instead of four
             X = PM & VPp
             SUM = add_carry(X, VPp)
             Xh = (SUM ^ VPp) | PM
@@ -224,49 +260,52 @@ def _kernel(
             # static inside the block, the word index is traced
             qb = cen - i
             bbit = U32(1 << ((cen - r) & 31))
-            bmask = jnp.where((lane == (qb >> 5)) & (i <= md), bbit, U32(0))
-            Ph = (Ph | bmask) & smask
-            Mh = (Mh & ~bmask) & smask
+            bmask = jnp.where((lane_mod == (qb >> 5)) & (i <= md), bbit, U32(0))
+            Ph = Ph | bmask
+            Mh = Mh & ~bmask
 
-            Phs = shl1(Ph)
-            Mhs = shl1(Mh)
-            Xv = PM | VNp
-            VP_new = (Mhs | ~(Xv | Phs)) & smask
-            VN_new = Phs & Xv & smask
+            Xv_s = shr1(PM | VNp)
+            VPp_new = ((Mh | ~(Xv_s | Ph)) & smask_p) | tmask
+            VNp_new = Ph & Xv_s & smask_p
 
-            # center score D(i,i): bits CEN-1 (dh of Ph/Mh), CEN (dv of new)
-            phw = pick_wc(Ph)
-            mhw = pick_wc(Mh)
-            vpw = pick_wc(VP_new)
-            vnw = pick_wc(VN_new)
-            dh = ((phw >> 15) & 1) - ((mhw >> 15) & 1)
-            dv = ((vpw >> 16) & 1) - ((vnw >> 16) & 1)
+            # center score D(i,i): dh = bit CEN-1 of Ph/Mh, dv = bit CEN of
+            # VP_new/VN_new = bit CEN-1 of the p-domain state. Every lane
+            # accumulates its own word's bit 15; only lane WC of each block
+            # holds the true score (read back post-loop)
+            dh = ((Ph >> U32(15)) & U32(1)).astype(jnp.int32) - (
+                (Mh >> U32(15)) & U32(1)
+            ).astype(jnp.int32)
+            dv = ((VPp_new >> U32(15)) & U32(1)).astype(jnp.int32) - (
+                (VNp_new >> U32(15)) & U32(1)
+            ).astype(jnp.int32)
             S_c_new = S_c + dh + dv
 
-            fail_now = (active & (i > 10) & (S_c_new > thr)).astype(jnp.int32)
+            fail_now = (
+                centermask & active & (i > 10) & (S_c_new > thr)
+            ).astype(jnp.int32)
             failed = jnp.maximum(failed, fail_now)
 
             cap = lena == i
-            fVP = jnp.where(cap, VP_new, fVP)
-            fVN = jnp.where(cap, VN_new, fVN)
-            VP = jnp.where(active, VP_new, VP)
-            VN = jnp.where(active, VN_new, VN)
+            fVP = jnp.where(cap, VPp_new, fVP)
+            fVN = jnp.where(cap, VNp_new, fVN)
+            VPp = jnp.where(active, VPp_new, VPp)
+            VNp = jnp.where(active, VNp_new, VNp)
             S_c = jnp.where(active, S_c_new, S_c)
 
-        return k + 1, VP, VN, S_c, failed, fVP, fVN
+        return k + 1, VPp, VNp, S_c, failed, fVP, fVN
 
-    zeros = jnp.zeros((SL, 1), jnp.int32)
+    zeros = jnp.zeros((SL, L), jnp.int32)
     zvec = jnp.zeros((SL, L), U32)
     _, _, _, S_c, failed, fVP, fVN = jax.lax.while_loop(
-        loop_cond, block, (jnp.int32(0), smask, zvec, zeros, zeros, zvec, zvec)
+        loop_cond,
+        block,
+        (jnp.int32(0), smask_p | tmask, zvec, zeros, zeros, zvec, zvec),
     )
 
     words_ref[:, :L] = fVP
     words_ref[:, L:] = fVN
-    lane_out = jax.lax.broadcasted_iota(jnp.int32, (SL, 128), 1)
-    out = jnp.where(lane_out == 0, S_c, 0)
-    out = jnp.where(lane_out == 1, failed, out)
-    scal_ref[:] = out
+    scal_ref[:, :L] = S_c
+    scal_ref[:, L:] = failed
 
 
 @functools.partial(
@@ -290,12 +329,13 @@ def batch_score_bitpallas(
     B0 = a.shape[0]
     LA = a.shape[1]
     LB = b.shape[1]
-    SL = 32  # pairs per program: multi-vreg ops amortize Mosaic's per-op cost
-    cen, words, L = _plan(w_max)
+    cen, words, L, NB, BW = _plan(w_max)
     cols_max = min(LB, la_max)  # kernel-a = min side
     KA = _round_up(cols_max + UNROLL + 1, CHUNK)
     KB = max(LA, LB)
     PBL = _round_up(-(-(KB + cen + w_max + 2) // 32) + 1, CHUNK)
+    if NB > 1:
+        assert PBL == L, (PBL, L)  # small-band geometry always fits one vreg
     T_pad = KA
     tab_len = max(la_max, LB, LA) + 2
 
@@ -353,10 +393,10 @@ def batch_score_bitpallas(
             for c in range(4)
         ],
         axis=1,
-    ).reshape(B0, 4 * PBL)
+    )  # (B0, 4, PBL)
 
-    # stripe/top masks in center-aligned coordinates
-    wlane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    # stripe/top masks in block-local center-aligned coordinates
+    wlane = jnp.arange(BW, dtype=jnp.int32)[None, :]
     q_lo = (cen - md)[:, None]
     q_hi = (cen + md)[:, None]
     base_m = jnp.where(
@@ -367,19 +407,48 @@ def batch_score_bitpallas(
         wlane > (q_hi >> 5), U32(0),
         jnp.where(wlane < (q_hi >> 5), FULL, FULL >> (31 - (q_hi & 31)).astype(U32)),
     )
-    smask = base_m & top_m
+    smask = base_m & top_m  # (B0, BW)
     tmask = jnp.where(
         wlane == (q_hi >> 5), U32(1) << (q_hi & 31).astype(U32), U32(0)
     )
 
-    # pad batch to a sublane multiple; padding rows are size-rejected
-    B = _round_up(max(B0, 1), SL)
+    # pack pairs into (programs, SL sublanes, NB lane-blocks)
+    GRP = SL * NB
+    B = _round_up(max(B0, 1), GRP)
+    P = B // GRP
     dpad = B - B0
 
     def padb(x, fill=0):
         return jnp.pad(x, ((0, dpad),) + ((0, 0),) * (x.ndim - 1), constant_values=fill)
 
-    grid = (B // SL,)
+    def pack_lanes(x, fill=0):
+        """(B, BW) per-pair -> (P*SL, L) blocked rows."""
+        x = padb(x, fill).reshape(P, SL, NB * BW)
+        if NB * BW < L:
+            x = jnp.pad(
+                x, ((0, 0), (0, 0), (0, L - NB * BW)), constant_values=fill
+            )
+        return x.reshape(P * SL, L)
+
+    def pack_wide(x):
+        """(B, X) per-pair -> (P*SL, NB*X) blocked rows."""
+        X = x.shape[1]
+        return padb(x).reshape(P, SL, NB * X).reshape(P * SL, NB * X)
+
+    def pack_scalar(v, fill):
+        """(B0,) per-pair -> (P*SL, L) broadcast over each block's lanes."""
+        vb = jnp.broadcast_to(v[:, None], (B0, BW))
+        return pack_lanes(vb, fill)
+
+    ka_p = pack_wide(ka)
+    peq_p = pack_wide(peq.reshape(B0, 4 * PBL))
+    smask_p = pack_lanes(smask)
+    tmask_p = pack_lanes(tmask)
+    md_p = pack_scalar(md, 1)
+    lena_p = pack_scalar(klena, 0)
+    oksz_p = pack_scalar(ok_size, 0)
+
+    grid = (P,)
     out_words, out_scal = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -387,60 +456,59 @@ def batch_score_bitpallas(
             cen=cen,
             words=words,
             lanes=L,
+            nb=NB,
+            bw=BW,
             pbl=PBL,
-            sublanes=SL,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, T_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, KA), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, 4 * PBL), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T_pad), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((SL, NB * KA), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, NB * 4 * PBL), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SL, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SL, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((SL, 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SL, 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 2 * L), U32),
-            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+            jax.ShapeDtypeStruct((P * SL, 2 * L), U32),
+            jax.ShapeDtypeStruct((P * SL, 2 * L), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((SL, 4 * L), U32),
-            pltpu.VMEM((SL, CHUNK), jnp.int32),
-            pltpu.VMEM((1, CHUNK), jnp.int32),
+            pltpu.VMEM((SL, NB * CHUNK), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=110 * B * cols_max * (L // 128),
-            bytes_accessed=B * (KA + 4 * PBL + 3 * L) * 4,
+            flops=110 * P * SL * cols_max * (L // 128),
+            bytes_accessed=P * SL * (NB * KA + NB * 4 * PBL + 3 * L) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(
-        tab,
-        padb(ka),
-        padb(peq),
-        padb(smask),
-        padb(tmask),
-        padb(md[:, None], 1),
-        padb(klena[:, None], 0),
-        padb(ok_size[:, None], 0),
-    )
+    )(tab, ka_p, peq_p, smask_p, tmask_p, md_p, lena_p, oksz_p)
 
-    fVP = out_words[:B0, :L]
-    fVN = out_words[:B0, L:]
-    S_c = out_scal[:B0, 0]
-    failed = out_scal[:B0, 1] != 0
+    def unpack_lanes(x):
+        """(P*SL, L) -> (B0, BW) per-pair block rows."""
+        return (
+            x[:, : NB * BW].reshape(P, SL, NB, BW).reshape(B, BW)[:B0]
+        )
+
+    fVP = unpack_lanes(out_words[:, :L])
+    fVN = unpack_lanes(out_words[:, L:])
+    S_c = unpack_lanes(out_scal[:, :L])[:, cen >> 5]
+    failed = unpack_lanes(out_scal[:, L:])[:, cen >> 5] != 0
 
     # far-row goal (seq_aligner.h:205-212 / bitparallel.py post-loop):
-    # D(klena, klena + e) = S_c + cumsum of vertical deltas above center
+    # D(klena, klena + e) = S_c + cumsum of vertical deltas above center.
+    # The captured words are the p-domain state (shr1 of the final VP/VN),
+    # so bit q of the final column lives at q-1.
     E = w_max + 1
     e_arr = jnp.arange(E, dtype=jnp.int32)
-    q = cen + e_arr
+    q = cen + e_arr - 1
     widx = jnp.broadcast_to((q >> 5)[None, :], (B0, E))
     vp_b = (
         (jnp.take_along_axis(fVP, widx, axis=1) >> (q & 31)[None, :].astype(U32)) & 1
