@@ -66,6 +66,10 @@ def reference_cells(la, lb, ratio):
 def bench_tpu(B=256, LB=2048, iters=8):
     import jax
 
+    from pacbioassembly_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from pacbioassembly_tpu.align.bitwave import batch_score_bitpallas
 
     ratio = 0.3

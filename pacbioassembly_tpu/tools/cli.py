@@ -198,6 +198,9 @@ def cmd_stat_hash(args) -> int:
 
 
 def main(argv=None) -> int:
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="pbtpu", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
 
