@@ -17,6 +17,36 @@ from .scan import BatchScores, batch_score
 
 _backend_cache: Optional[str] = None
 
+# Batch quantum: every score_batch call pads B up a geometric ladder
+# (quantum, 2*quantum, 4*quantum, ...) so the jitted scorers see a handful
+# of distinct shapes total instead of one per round — each distinct B
+# retraces + recompiles (~5-11 s of Mosaic/XLA per shape on the tunneled
+# TPU; measured to dominate end-to-end assembly time before this). 64 =
+# the bit-parallel kernel's sublane group; padding rows carry la=lb=1 so
+# the kernel's early exit makes them nearly free.
+BATCH_QUANTUM = 64
+
+
+def ladder_size(B: int, quantum: int = BATCH_QUANTUM) -> int:
+    """Smallest quantum * 2^k >= B (>= quantum)."""
+    n = -(-max(B, 1) // quantum)  # ceil units
+    return quantum * (1 << (n - 1).bit_length())
+
+
+def pad_batch(arrs_2d, la, lb, quantum: int = BATCH_QUANTUM, ladder: bool = True):
+    """Pad the leading batch dim of (a, b) + length vectors to a ladder step
+    (or plain multiple when ladder=False). Pad rows get la=lb=1 (cheap,
+    rejected, sliced off by the caller)."""
+    B0 = len(la)
+    target = ladder_size(B0, quantum) if ladder else B0 + ((-B0) % quantum)
+    pad = target - B0
+    if pad == 0:
+        return arrs_2d, la, lb, B0
+    arrs_2d = [np.pad(x, ((0, pad), (0, 0))) for x in arrs_2d]
+    la = np.pad(la, (0, pad), constant_values=1)
+    lb = np.pad(lb, (0, pad), constant_values=1)
+    return arrs_2d, la, lb, B0
+
 
 def screening_backend() -> str:
     """'bitpallas' on TPU (the bit-parallel kernel), 'scan' otherwise;
@@ -51,6 +81,15 @@ def score_batch(
     backend: Optional[str] = None,
 ) -> BatchScores:
     backend = backend or screening_backend()
+    (a, b), la, lb, B0 = pad_batch([np.asarray(a), np.asarray(b)], np.asarray(la), np.asarray(lb))
+    res = _dispatch(a, la, b, lb, la_max=la_max, w_max=w_max, ratio=ratio,
+                    maxn=maxn, maxm=maxm, backend=backend)
+    if len(res.accept) != B0:
+        res = BatchScores(*(x[:B0] for x in res))
+    return res
+
+
+def _dispatch(a, la, b, lb, *, la_max, w_max, ratio, maxn, maxm, backend) -> BatchScores:
     if backend == "bitpallas" or backend == "bitpallas_interpret":
         from .bitwave import batch_score_bitpallas
 

@@ -37,7 +37,7 @@ class TracebackResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm", "e_max"),
+    static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm", "e_max", "rows_max"),
 )
 def batch_align_traceback(
     a: jax.Array,
@@ -51,10 +51,17 @@ def batch_align_traceback(
     maxn: int = Constants.ALIGNER_MAXN,
     maxm: int = Constants.ALIGNER_MAXM,
     e_max: int | None = None,
+    rows_max: int | None = None,
 ) -> TracebackResult:
+    """rows_max (static) optionally bounds the scanned DP rows below la_max
+    when the caller knows max(la) for this batch — the sequential scan's
+    per-step overhead dominates this pass on TPU, so halving rows nearly
+    halves its wall time. Must satisfy rows_max >= max over the batch of
+    len_a (len_a <= la always, so rows_max >= max(la) is sufficient)."""
+    R = la_max if rows_max is None else min(la_max, rows_max)
     S = 2 * w_max + 1
     LB = b.shape[1]
-    E = e_max if e_max is not None else la_max + LB + 2
+    E = e_max if e_max is not None else R + LB + 2
     tab_len = max(la_max, LB, a.shape[1]) + 1
     early_thr_np, accept_min_np, band_tab_np = _threshold_tables(ratio, tab_len)
     early_thr = jnp.asarray(early_thr_np)
@@ -128,15 +135,15 @@ def batch_align_traceback(
         (prev, failed, final_row), (col_list, par_rows) = jax.lax.scan(
             row,
             (prev0, failed0, final_row0),
-            jnp.arange(1, la_max + 1, dtype=jnp.int32),
+            jnp.arange(1, R + 1, dtype=jnp.int32),
         )
-        parents = jnp.concatenate([par0[None, :], par_rows])  # (la_max+1, S)
+        parents = jnp.concatenate([par0[None, :], par_rows])  # (R+1, S)
 
         col0 = jnp.where(len_b <= md, len_b, INF).astype(jnp.int32)
         cols = jnp.concatenate([col0[None], col_list])
 
         long = len_a > len_b
-        ii = jnp.arange(la_max + 1, dtype=jnp.int32)
+        ii = jnp.arange(R + 1, dtype=jnp.int32)
         colm = jnp.where((ii >= len_b) & (ii <= len_a), cols, INF)
         iL = jnp.argmin(colm).astype(jnp.int32)
         costL = colm[iL]

@@ -177,8 +177,13 @@ class BatchAssembler:
 
             if self._mesh is None:
                 self._mesh = make_mesh()
-            quantum = 8 * n_dev
-            pad = (-B) % quantum
+            # 64 alignments per device keeps the per-device batch on the
+            # bit-parallel kernel's sublane-group quantum; the geometric
+            # ladder bounds the number of distinct shapes the sharded jit
+            # ever compiles (see align/screen.py)
+            from ..align.screen import ladder_size
+
+            pad = ladder_size(B, 64 * n_dev) - B
             if pad:
                 a_mat = np.pad(a_mat, ((0, pad), (0, 0)))
                 b_mat = np.pad(b_mat, ((0, pad), (0, 0)))
@@ -343,6 +348,7 @@ class BatchAssembler:
         {candidate index: (ops, vals, matlen_a, matlen_b)} for those whose
         traceback accepted (it reruns the identical DP, so it always agrees
         with screening; the dict-miss fallback is the host path)."""
+        from ..align.screen import ladder_size, pad_batch
         from ..align.traceback import batch_align_traceback
 
         cfg = self.cfg
@@ -354,8 +360,16 @@ class BatchAssembler:
             a_mat, la, b_mat, lb = self._materialize(
                 cands, part, seg_len, ref_len, LB, LA
             )
+            # pad the last chunk to CHUNK so the jitted traceback sees one
+            # static batch shape per size bucket (no per-round recompiles);
+            # bound the scanned rows by this chunk's real max length (the
+            # scan's per-step overhead dominates the pass), laddered so the
+            # bound itself only takes a few distinct values
+            (a_mat, b_mat), la, lb, _ = pad_batch([a_mat, b_mat], la, lb, CHUNK)
+            rows = min(LA, ladder_size(int(la.max()), 512))
             res = batch_align_traceback(
-                a_mat, la, b_mat, lb, la_max=LA, w_max=W, ratio=cfg.ratio
+                a_mat, la, b_mat, lb, la_max=LA, w_max=W, ratio=cfg.ratio,
+                rows_max=rows,
             )
             acc = np.asarray(res.scores.accept)
             ma = np.asarray(res.scores.matlen_a)

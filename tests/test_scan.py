@@ -82,3 +82,24 @@ def test_scan_rejects_band_overflow():
     res = batch_score(A, las, Bm, lbs, la_max=64, w_max=8, ratio=0.3)
     # max_dst = 1 + 19 = 20 > w_max=8 -> rejected
     assert not bool(res.accept[0])
+
+
+def test_batch_ladder_padding_invariant():
+    """score_batch pads B up a geometric ladder for jit-cache stability;
+    results must be independent of the padding (sliced back to B)."""
+    from pacbioassembly_tpu.align.screen import ladder_size, score_batch
+
+    assert ladder_size(1) == 64
+    assert ladder_size(64) == 64
+    assert ladder_size(65) == 128
+    assert ladder_size(129) == 256
+    assert ladder_size(719) == 1024
+
+    rng = np.random.default_rng(9)
+    cases = make_cases(rng, 5, max_len=48)
+    A, las, Bm, lbs = pack(cases, 64, 64)
+    res = score_batch(A, las, Bm, lbs, la_max=64, w_max=24, ratio=0.3)
+    assert len(np.asarray(res.accept)) == 5
+    direct = batch_score(A, las, Bm, lbs, la_max=64, w_max=24, ratio=0.3)
+    np.testing.assert_array_equal(np.asarray(res.accept), np.asarray(direct.accept))
+    np.testing.assert_array_equal(np.asarray(res.cost), np.asarray(direct.cost))
