@@ -8,7 +8,8 @@ word-vectorized algebra this kernel executes; see its derivation notes).
 
 Design (all parity-critical choices are pinned by tests/test_bitwave.py):
 
-  * SL x NB alignments per grid program: SL=32 sublanes, and when the
+  * SL x NB alignments per grid program: up to SL sublanes (VMEM-capped
+    per geometry by _pick_sl), and when the
     band fits, NB pair-blocks side by side in the 128-lane dimension
     (each pair's stripe is a multiword bitvector in its block's lanes;
     every cross-word lane roll is re-masked at block boundaries). Wide
@@ -62,6 +63,7 @@ no float32 on device, matching scan.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,7 +77,28 @@ from .scan import BatchScores, _threshold_tables
 INF32 = np.int32(1 << 28)
 CHUNK = 128
 UNROLL = 32
-SL = 64  # sublanes (pairs) per program row
+# max sublanes (pairs) per program row: more sublanes = more vregs per
+# vector op, amortizing Mosaic's per-op fixed cost (measured 8->32->64->128
+# gave 7.1->12.7->14.1->16.0 Gcells/s on v5e; 256 saturates at the same
+# speed with 13x the compile time). The per-call _pick_sl halves this for
+# big-band geometries so the working set stays inside VMEM. Env-tunable
+# for hardware retuning.
+SL = int(os.environ.get("PBTPU_BITWAVE_SL", "128"))
+
+
+def _pick_sl(KA: int, PBL: int, L: int, NB: int) -> int:
+    """Largest sublane count <= SL whose double-buffered VMEM working set
+    fits the budget (in/out blocks are pipelined 2x; scratch is single)."""
+    budget = 10 * 1024 * 1024
+    inb = (NB * KA + NB * 4 * PBL + 5 * L) * 4
+    outb = 4 * L * 4
+    scratch = (4 * L + NB * CHUNK) * 4
+    sl = SL
+    while sl > 8 and sl * (2 * (inb + outb) + scratch) > budget:
+        sl //= 2
+    return max(sl, 8)
+
+
 U32 = jnp.uint32
 FULL = np.uint32(0xFFFFFFFF)
 
@@ -120,12 +143,14 @@ def _kernel(
     nb: int,
     bw: int,
     pbl: int,
+    sl: int,
 ):
     L = lanes
     NB = nb
     BW = bw
+    SLK = sl
     WC = cen >> 5  # block-local word holding bits CEN-1 (15) / CEN (16)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SL, L), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SLK, L), 1)
     lane_mod = jax.lax.rem(lane, BW) if NB > 1 else lane
     up_masks = {}
     sh = 1
@@ -294,8 +319,8 @@ def _kernel(
 
         return k + 1, VPp, VNp, S_c, failed, fVP, fVN
 
-    zeros = jnp.zeros((SL, L), jnp.int32)
-    zvec = jnp.zeros((SL, L), U32)
+    zeros = jnp.zeros((SLK, L), jnp.int32)
+    zvec = jnp.zeros((SLK, L), U32)
     _, _, _, S_c, failed, fVP, fVN = jax.lax.while_loop(
         loop_cond,
         block,
@@ -336,6 +361,7 @@ def batch_score_bitpallas(
     PBL = _round_up(-(-(KB + cen + w_max + 2) // 32) + 1, CHUNK)
     if NB > 1:
         assert PBL == L, (PBL, L)  # small-band geometry always fits one vreg
+    SLC = _pick_sl(KA, PBL, L, NB)
     T_pad = KA
     tab_len = max(la_max, LB, LA) + 2
 
@@ -412,8 +438,8 @@ def batch_score_bitpallas(
         wlane == (q_hi >> 5), U32(1) << (q_hi & 31).astype(U32), U32(0)
     )
 
-    # pack pairs into (programs, SL sublanes, NB lane-blocks)
-    GRP = SL * NB
+    # pack pairs into (programs, SLC sublanes, NB lane-blocks)
+    GRP = SLC * NB
     B = _round_up(max(B0, 1), GRP)
     P = B // GRP
     dpad = B - B0
@@ -422,18 +448,18 @@ def batch_score_bitpallas(
         return jnp.pad(x, ((0, dpad),) + ((0, 0),) * (x.ndim - 1), constant_values=fill)
 
     def pack_lanes(x, fill=0):
-        """(B, BW) per-pair -> (P*SL, L) blocked rows."""
-        x = padb(x, fill).reshape(P, SL, NB * BW)
+        """(B, BW) per-pair -> (P*SLC, L) blocked rows."""
+        x = padb(x, fill).reshape(P, SLC, NB * BW)
         if NB * BW < L:
             x = jnp.pad(
                 x, ((0, 0), (0, 0), (0, L - NB * BW)), constant_values=fill
             )
-        return x.reshape(P * SL, L)
+        return x.reshape(P * SLC, L)
 
     def pack_wide(x):
-        """(B, X) per-pair -> (P*SL, NB*X) blocked rows."""
+        """(B, X) per-pair -> (P*SLC, NB*X) blocked rows."""
         X = x.shape[1]
-        return padb(x).reshape(P, SL, NB * X).reshape(P * SL, NB * X)
+        return padb(x).reshape(P, SLC, NB * X).reshape(P * SLC, NB * X)
 
     def pack_scalar(v, fill):
         """(B0,) per-pair -> (P*SL, L) broadcast over each block's lanes."""
@@ -459,42 +485,43 @@ def batch_score_bitpallas(
             nb=NB,
             bw=BW,
             pbl=PBL,
+            sl=SLC,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T_pad), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((SL, NB * KA), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, NB * 4 * PBL), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SLC, NB * KA), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SLC, NB * 4 * PBL), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SLC, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SLC, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SLC, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SLC, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SLC, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((SL, 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SL, 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SLC, 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SLC, 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((P * SL, 2 * L), U32),
-            jax.ShapeDtypeStruct((P * SL, 2 * L), jnp.int32),
+            jax.ShapeDtypeStruct((P * SLC, 2 * L), U32),
+            jax.ShapeDtypeStruct((P * SLC, 2 * L), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SL, 4 * L), U32),
-            pltpu.VMEM((SL, NB * CHUNK), jnp.int32),
+            pltpu.VMEM((SLC, 4 * L), U32),
+            pltpu.VMEM((SLC, NB * CHUNK), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=110 * P * SL * cols_max * (L // 128),
-            bytes_accessed=P * SL * (NB * KA + NB * 4 * PBL + 3 * L) * 4,
+            flops=110 * P * SLC * cols_max * (L // 128),
+            bytes_accessed=P * SLC * (NB * KA + NB * 4 * PBL + 3 * L) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(tab, ka_p, peq_p, smask_p, tmask_p, md_p, lena_p, oksz_p)
 
     def unpack_lanes(x):
-        """(P*SL, L) -> (B0, BW) per-pair block rows."""
+        """(P*SLC, L) -> (B0, BW) per-pair block rows."""
         return (
-            x[:, : NB * BW].reshape(P, SL, NB, BW).reshape(B, BW)[:B0]
+            x[:, : NB * BW].reshape(P, SLC, NB, BW).reshape(B, BW)[:B0]
         )
 
     fVP = unpack_lanes(out_words[:, :L])

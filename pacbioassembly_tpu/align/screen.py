@@ -81,7 +81,14 @@ def score_batch(
     backend: Optional[str] = None,
 ) -> BatchScores:
     backend = backend or screening_backend()
-    (a, b), la, lb, B0 = pad_batch([np.asarray(a), np.asarray(b)], np.asarray(la), np.asarray(lb))
+    if isinstance(a, np.ndarray):
+        (a, b), la, lb, B0 = pad_batch(
+            [np.asarray(a), np.asarray(b)], np.asarray(la), np.asarray(lb)
+        )
+    else:
+        # device arrays (assemble/gather.py): the caller already laddered
+        # the batch on host, so no host-side pad/copy here
+        B0 = a.shape[0]
     res = _dispatch(a, la, b, lb, la_max=la_max, w_max=w_max, ratio=ratio,
                     maxn=maxn, maxm=maxm, backend=backend)
     if len(res.accept) != B0:

@@ -151,6 +151,7 @@ class BatchAssembler:
         self._aligner = partial(exact_align, ratio=cfg.ratio)
         self._mesh = None
         self._trial_cache = TrialSeedCache(reads, cfg)
+        self._device_builder = None  # lazy (assemble/gather.py)
 
     def _pick_pattern(self) -> int:
         if self.nfailure != 0:
@@ -245,6 +246,46 @@ class BatchAssembler:
         la = np.minimum(la, LA).astype(np.int32)
         return a_mat, la, b_mat, lb
 
+    def _device_batch(self, cands, idxs, ref_len, LB, LA):
+        """Materialize the screening batch on device (assemble/gather.py):
+        only six int32s per candidate cross the host->device link instead
+        of LA+LB codes. Returns None when the host path should be used
+        (disabled, multi-device sharding, or reads too large for a dense
+        device matrix)."""
+        cfg = self.cfg
+        if not cfg.device_materialize:
+            return None
+        import jax
+
+        if len(jax.devices()) > 1 and len(idxs) >= len(jax.devices()):
+            return None  # the sharded host path splits batches per device
+        if self._device_builder is None:
+            from .gather import DeviceBatchBuilder
+
+            self._device_builder = DeviceBatchBuilder(self.reads, cfg)
+        builder = self._device_builder
+        if not builder.ok:
+            return None
+
+        from ..align.screen import ladder_size
+
+        ref = self.ref
+        B0 = len(idxs)
+        Bp = ladder_size(B0)
+        read_row = np.zeros(Bp, np.int32)
+        jv = np.full(Bp, int(self.reads.lengths[0]) - 1, np.int32)  # pad: lb=1
+        fwd = np.ones(Bp, bool)
+        prel = np.zeros(Bp, np.int32)
+        la = np.ones(Bp, np.int32)  # pad: la=1
+        for bi, n in enumerate(idxs):
+            c = cands[n]
+            read_row[bi] = self.surviving[c.read]
+            jv[bi] = c.j
+            fwd[bi] = c.forward
+            prel[bi] = ref.beg + c.r_offset - ref.pre
+            la[bi] = min(int(ref_len[n]), LA)
+        return builder.materialize(ref, read_row, jv, fwd, prel, la, LA, LB)
+
     def screen(self, cands: list[Candidate]) -> np.ndarray:
         """Device-score all candidates vs the round-start reference.
         Returns a bool accept vector aligned with `cands`."""
@@ -264,7 +305,13 @@ class BatchAssembler:
         LB, LA, W = size_bucket(int(seg_len.max()), cfg.ratio)
         # sort by segment length (desc) so early-exit groups finish together
         idxs = sorted(range(len(cands)), key=lambda n: -seg_len[n])
-        a_mat, la, b_mat, lb = self._materialize(cands, idxs, seg_len, ref_len, LB, LA)
+        dev = self._device_batch(cands, idxs, ref_len, LB, LA)
+        if dev is not None:
+            a_mat, la, b_mat, lb = dev
+        else:
+            a_mat, la, b_mat, lb = self._materialize(
+                cands, idxs, seg_len, ref_len, LB, LA
+            )
         res = self._score(a_mat, la, b_mat, lb, LA, W)
         acc = np.asarray(res.accept)
         ma = np.asarray(res.matlen_a)

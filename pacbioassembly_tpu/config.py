@@ -85,6 +85,10 @@ class AssemblyConfig:
     # computed on-device); boundary-capable alignments always take the
     # sequential host path to preserve growth semantics
     device_traceback: bool = True
+    # materialize screening batches on device (upload reads once, gather
+    # windows/segments on-chip; assemble/gather.py) — falls back to host
+    # packing for multi-device sharding or oversized read sets
+    device_materialize: bool = True
 
     # capacity: max consensus length (reference MAX_SEQ_LEN, common.h:31);
     # unlike the reference's compile-time cap this is a runtime knob, so

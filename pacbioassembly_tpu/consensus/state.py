@@ -60,6 +60,7 @@ class ConsensusRef:
         self.total[o : o + L] = 1
         self.beg = self.pre = o
         self.end = self.post = o + L
+        self.version = 0  # bumped on every mutation (device-cache key)
 
     # ------------------------------------------------------------------ geometry
 
@@ -104,6 +105,7 @@ class ConsensusRef:
         self.sel[lo + np.arange(L), codes] = 1
         self.total[lo : lo + L] = 1
         self.post += L
+        self.version += 1
 
     def prepend(self, codes: np.ndarray) -> None:
         """Grow at the head; `codes` in genomic (left-to-right) order
@@ -120,6 +122,7 @@ class ConsensusRef:
         self.sel[lo + np.arange(L), codes] = 1
         self.total[lo : lo + L] = 1
         self.pre = lo
+        self.version += 1
 
     # ------------------------------------------------------------------ voting
 
@@ -148,6 +151,7 @@ class ConsensusRef:
         np.add.at(self.total, idx[m], 1)
         np.add.at(self.total, idx[d], 1)
         np.add.at(self.sup, (idx[i], vals[i].astype(np.int64)), 1)
+        self.version += 1
 
     def try_align(self, aligner, pos: int, seg: np.ndarray, forward: bool):
         """Align a read segment at reference position pos; on success vote and
@@ -185,6 +189,7 @@ class ConsensusRef:
             return
         pre, post = self.pre, self.post
         L = post - pre
+        self.version += 1
         if L == 0:
             self.beg = self.end = self.pre = self.post = self.origin
             return
@@ -283,4 +288,5 @@ class ConsensusRef:
         ref.post = o + L
         ref.beg = o + int(state["beg"])
         ref.end = o + int(state["end"])
+        ref.version = 0
         return ref

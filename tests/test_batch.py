@@ -90,3 +90,52 @@ def test_readstore_mmap_equivalent():
     assert len(r1) == len(r2)
     np.testing.assert_array_equal(r1.codes(3), r2.codes(3))
     assert r1.quirk_seed(0, 4) == r2.quirk_seed(0, 4)
+
+
+def test_device_materialize_equivalent(monkeypatch):
+    """assemble/gather.py must build byte-identical (a, la, b, lb) batches
+    to the host _materialize path (up to its ladder padding), and the
+    engine must produce the same consensus either way."""
+    import jax
+
+    from pacbioassembly_tpu.align.screen import size_bucket
+    from pacbioassembly_tpu.assemble.batch import expand_candidates
+    from pacbioassembly_tpu.index import build_seedmap
+
+    # the suite runs on 8 virtual CPU devices; pin the single-device path
+    # (multi-device screening shards host-packed batches instead)
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+
+    cfg = AssemblyConfig(
+        initial_ref_path=data("synth_init.txt"),
+        pattern_schedule="roundrobin",
+        quirk_init_newline=True,
+        quirk_seed_at=True,
+        engine="batch",
+    )
+    reads = ReadStore.from_file(data("synth_reads.bin"), cfg)
+    patterns = load_patterns(data("oneseed_spaced.txt"))
+    asm = BatchAssembler(cfg, reads, patterns)
+
+    pattern = patterns[0]
+    index, _ = build_seedmap(asm.ref.text(), pattern)
+    cands = expand_candidates(
+        asm.reads, asm.surviving, index, pattern, cfg, asm._trial_cache
+    )
+    assert cands, "fixture must produce candidates"
+    seg_len, ref_len = asm._geometry(cands)
+    LB, LA, W = size_bucket(int(seg_len.max()), cfg.ratio)
+    idxs = sorted(range(len(cands)), key=lambda n: -seg_len[n])
+
+    a_h, la_h, b_h, lb_h = asm._materialize(cands, idxs, seg_len, ref_len, LB, LA)
+    dev = asm._device_batch(cands, idxs, ref_len, LB, LA)
+    assert dev is not None
+    a_d, la_d, b_d, lb_d = (np.asarray(x) for x in dev)
+    B0 = len(idxs)
+    np.testing.assert_array_equal(a_d[:B0], a_h)
+    np.testing.assert_array_equal(b_d[:B0], b_h)
+    np.testing.assert_array_equal(la_d[:B0], la_h)
+    np.testing.assert_array_equal(lb_d[:B0], lb_h)
+    # ladder pad rows must be cheap rejects
+    assert (la_d[B0:] == 1).all() and (lb_d[B0:] == 1).all()
