@@ -1,0 +1,136 @@
+"""E. coli-scale end-to-end assembly run (VERDICT r1 item 2).
+
+Reproduces the reference's input scale — a 4.6 Mb genome at 30x coverage
+of ~2.5 kb reads at 15% error (doc/final.tex:125-131: 3 GB FASTQ ->
+~0.4 GB 2-bit binary of E. coli C227-11) — as a synthetic dataset, then
+runs the batch engine end-to-end and reports reads-aligned/s alongside
+Gcells/s.
+
+Usage:
+    python benchmarks/ecoli_scale.py [--genome-len 4600000] [--coverage 30]
+        [--error-rate 0.15] [--max-round N] [--out DIR]
+
+Writes <out>/metrics.jsonl (per-round records) and <out>/summary.json and
+prints the summary as one JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-len", type=int, default=4_600_000)
+    ap.add_argument("--coverage", type=float, default=30.0)
+    ap.add_argument("--mean-read-len", type=int, default=2500)
+    ap.add_argument("--error-rate", type=float, default=0.15)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--max-round", type=int, default=None,
+                    help="bound rounds (default: run to convergence)")
+    ap.add_argument("--out", default="/tmp/pbtpu_ecoli")
+    ap.add_argument("--backend", default=None,
+                    help="override PBTPU_SCREEN_BACKEND")
+    args = ap.parse_args()
+
+    if args.backend:
+        os.environ["PBTPU_SCREEN_BACKEND"] = args.backend
+    os.makedirs(args.out, exist_ok=True)
+
+    from pacbioassembly_tpu.assemble import ReadStore
+    from pacbioassembly_tpu.assemble.batch import BatchAssembler
+    from pacbioassembly_tpu.codec import binary_io, dna
+    from pacbioassembly_tpu.config import AssemblyConfig
+    from pacbioassembly_tpu.tools.simulate import SimConfig, simulate
+    from pacbioassembly_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    bin_path = os.path.join(
+        args.out,
+        f"reads_{args.genome_len}_{args.coverage:g}_{args.error_rate:g}_{args.seed}.bin",
+    )
+    genome_path = os.path.join(args.out, "genome.txt")
+    if not os.path.exists(bin_path):
+        log(f"simulating {args.genome_len/1e6:.1f} Mb @ {args.coverage}x ...")
+        t0 = time.time()
+        sim = SimConfig(
+            genome_len=args.genome_len,
+            coverage=args.coverage,
+            mean_read_len=args.mean_read_len,
+            sub_rate=args.error_rate / 3,
+            ins_rate=args.error_rate / 3,
+            del_rate=args.error_rate / 3,
+            seed=args.seed,
+        )
+        genome, reads_list, _ = simulate(sim)
+        with open(bin_path + ".tmp", "wb") as fh:
+            binary_io.write_records(fh, reads_list)
+        os.replace(bin_path + ".tmp", bin_path)
+        with open(genome_path, "w") as fh:
+            fh.write(dna.codes_to_text(genome) + "\n")
+        log(f"  wrote {len(reads_list)} reads, "
+            f"{os.path.getsize(bin_path)/1e6:.0f} MB in {time.time()-t0:.0f}s")
+
+    cfg = AssemblyConfig(
+        engine="batch",
+        max_round=args.max_round,
+        rng_seed=7,
+        pattern_schedule="random",
+        max_seq_len=args.genome_len + 500_000,
+        metrics_path=os.path.join(args.out, "metrics.jsonl"),
+        checkpoint_path=os.path.join(args.out, "ck.npz"),
+        checkpoint_every=200,
+    )
+    t0 = time.time()
+    reads = ReadStore.from_file(bin_path, cfg)
+    patterns = dna.load_patterns(
+        os.path.join(os.path.dirname(__file__), "..", "tests", "data", "seeds.txt")
+    )
+    asm = BatchAssembler(cfg, reads, patterns)
+    setup_s = time.time() - t0
+    log(f"loaded {len(reads)} reads in {setup_s:.1f}s; assembling ...")
+
+    t1 = time.time()
+    asm.run(out=io.StringIO(), log=sys.stderr)
+    wall = time.time() - t1
+
+    consumed = len(reads) - len(asm.surviving)
+    summary = {
+        "metric": "reads_aligned_per_s",
+        "value": round(consumed / wall, 2),
+        "unit": "reads/s",
+        "genome_len": args.genome_len,
+        "coverage": args.coverage,
+        "error_rate": args.error_rate,
+        "n_reads": len(reads),
+        "reads_consumed": consumed,
+        "rounds": asm.nround,
+        "contig_len": asm.ref.length(),
+        "wall_s": round(wall, 1),
+        "setup_s": round(setup_s, 1),
+        "dp_cells_total": asm.dp_cells_total,
+        "dp_gcells_per_s": round(asm.dp_cells_total / wall / 1e9, 2),
+        "bin_bytes": os.path.getsize(bin_path),
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    with open(os.path.join(args.out, "contig.txt"), "w") as fh:
+        fh.write(dna.codes_to_text(asm.ref.text()) + "\n")
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,7 +3,7 @@
 exact_align() runs the sequential-parity banded DP. It prefers the native
 C++ core (native/pbcore.cpp) and falls back to the vectorized numpy
 implementation (banded.py); both produce identical results (verified by
-tests/test_native.py differential tests).
+the differential tests in tests/test_aligner.py).
 """
 
 from __future__ import annotations

@@ -24,7 +24,6 @@ tensor updates either way. Phase A is what shards across chips
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional, TextIO
 
@@ -42,13 +41,58 @@ from .reads import ReadStore
 SEED_LEN = Constants.SEED_LEN
 
 
-@dataclasses.dataclass
-class Candidate:
-    read: int      # index into surviving read list
-    j: int         # trial number
-    forward: bool
-    r_offset: int  # reference position (already direction-adjusted)
-    rank: int      # position within the index bucket
+class CandidateBatch:
+    """Structure-of-arrays candidate set — one row per (read, trial,
+    direction, reference-position) screening candidate, in trial-priority
+    order per read (the reference's probe order, spaced_seed.cpp:424-426,
+    282-296). Arrays instead of objects: candidate counts reach 10^5-10^6
+    per round at E. coli scale."""
+
+    __slots__ = ("read", "j", "forward", "r_offset", "rank")
+
+    def __init__(self, read, j, forward, r_offset, rank):
+        self.read = np.asarray(read, dtype=np.int64)      # surviving-list row
+        self.j = np.asarray(j, dtype=np.int64)            # trial number
+        self.forward = np.asarray(forward, dtype=bool)
+        self.r_offset = np.asarray(r_offset, dtype=np.int64)  # dir-adjusted
+        self.rank = np.asarray(rank, dtype=np.int64)      # index-bucket rank
+
+    def __len__(self) -> int:
+        return len(self.read)
+
+    @classmethod
+    def empty(cls) -> "CandidateBatch":
+        z = np.empty(0, np.int64)
+        return cls(z, z, np.empty(0, bool), z, z)
+
+
+def _gather_trial_seeds(
+    buf: np.ndarray, offs: np.ndarray, pos: np.ndarray, quirk: bool
+) -> np.ndarray:
+    """Vectorized dna.seed_at (dna_seq.h:62-76) over an (N, T) matrix of
+    base positions into the flat record buffer; rows are reads at payload
+    offsets offs+4. With quirk=True, replicates the reference's aligned-pos
+    bug (byte offset `pos` instead of `pos>>2`, running past the record
+    into following reads' bytes; past-buffer reads are zero — the mmap
+    zero page). Equivalent to ReadStore.quirk_seed / dna.seed_at per cell
+    (differential-tested in tests/test_batch.py)."""
+    pos = pos.astype(np.int64)
+    byte0 = pos >> 2
+    if quirk:
+        byte0 = np.where((pos & 3) == 0, pos, byte0)
+    idx = (offs[:, None] + 4 + byte0)[..., None] + np.arange(5, dtype=np.int64)
+    nbuf = len(buf)
+    b = np.where(
+        idx < nbuf, buf[np.minimum(idx, nbuf - 1)], np.uint8(0)
+    ).astype(np.uint32)
+    ls = ((pos & 3) << 1).astype(np.uint32)[..., None]
+    chunk = ((b[..., :4] << ls) | (b[..., 1:5] >> (8 - ls))) & 0xFF
+    return (
+        chunk[..., 0]
+        | (chunk[..., 1] << 8)
+        | (chunk[..., 2] << 16)
+        | (chunk[..., 3] << 24)
+    ).astype(np.uint32)
 
 
 class TrialSeedCache:
@@ -65,29 +109,26 @@ class TrialSeedCache:
         N = len(reads)
         self.seeds = np.zeros((N, 2 * T), dtype=np.uint32)
         self.valid = np.zeros((N, 2 * T), dtype=bool)
-        for i in range(N):
-            codes = reads.codes(i)
-            slen = len(codes)
-            fpos = np.arange(min(T, max(0, slen - SEED_LEN + 1)), dtype=np.int64)
-            bpos = slen - SEED_LEN - np.arange(T, dtype=np.int64)
-            bpos = bpos[bpos >= 0][: T]
-            if cfg.quirk_seed_at:
-                fs = np.array(
-                    [reads.quirk_seed(i, int(p)) for p in fpos], dtype=np.uint32
-                )
-                bs = np.array(
-                    [reads.quirk_seed(i, int(p)) for p in bpos], dtype=np.uint32
-                )
-            else:
-                fs = dna.encode_seeds(codes, fpos) if len(fpos) else np.empty(0, np.uint32)
-                bs = dna.encode_seeds(codes, bpos) if len(bpos) else np.empty(0, np.uint32)
-            # validity includes the segment-length floor (s_len = slen - j)
-            j_idx = np.arange(T)
-            s_len_ok = (slen - j_idx) >= cfg.overlap_min
-            self.seeds[i, 0 : 2 * len(fs) : 2] = fs
-            self.valid[i, 0 : 2 * len(fs) : 2] = s_len_ok[: len(fs)]
-            self.seeds[i, 1 : 2 * len(bs) + 1 : 2] = bs
-            self.valid[i, 1 : 2 * len(bs) + 1 : 2] = s_len_ok[: len(bs)]
+        if N == 0:
+            return
+        slen = reads.lengths.astype(np.int64)
+        offs = reads.offsets.astype(np.int64)
+        jj = np.arange(T, dtype=np.int64)
+        # trials per read: fwd pos j and bwd pos slen-16-j both exist for
+        # j < min(T, slen-15); validity adds the segment-length floor
+        # s_len = slen - j >= overlap_min (spaced_seed.cpp:271)
+        nval = np.minimum(T, np.maximum(slen - SEED_LEN + 1, 0))
+        col_ok = jj[None, :] < nval[:, None]
+        ok = col_ok & ((slen[:, None] - jj[None, :]) >= cfg.overlap_min)
+
+        fpos = np.broadcast_to(jj[None, :], (N, T))
+        bpos = np.maximum(slen[:, None] - SEED_LEN - jj[None, :], 0)
+        fs = _gather_trial_seeds(reads.buf, offs, fpos, cfg.quirk_seed_at)
+        bs = _gather_trial_seeds(reads.buf, offs, bpos, cfg.quirk_seed_at)
+        self.seeds[:, 0::2] = np.where(col_ok, fs, 0)
+        self.seeds[:, 1::2] = np.where(col_ok, bs, 0)
+        self.valid[:, 0::2] = ok
+        self.valid[:, 1::2] = ok
 
 
 def expand_candidates(
@@ -97,12 +138,19 @@ def expand_candidates(
     pattern: int,
     cfg: AssemblyConfig,
     cache: TrialSeedCache,
-) -> list[Candidate]:
+) -> tuple[CandidateBatch, int]:
     """All seeding trials for all surviving reads, in trial-priority order
-    per read. Vectorized: mask the cached raw seeds, batch binary-search the
-    index, then expand only the hits."""
+    per read. Fully vectorized: mask the cached raw seeds, batch
+    binary-search the index, then expand the hits with repeat/cumsum (no
+    per-hit Python loop — E. coli-scale rounds expand 10^5+ hits).
+
+    Returns (candidates, dropped): `dropped` counts index hits beyond
+    cfg.bucket_max_candidates per (read, trial) that were not expanded —
+    the reference tries every candidate in a bucket (spaced_seed.cpp:
+    282-296), so a nonzero value signals a repetitive reference where
+    the cap is losing discoverable overlaps."""
     if not surviving:
-        return []
+        return CandidateBatch.empty(), 0
     cap = cfg.bucket_max_candidates
     alive = np.asarray(surviving)
     seeds = cache.seeds[alive] & np.uint32(pattern)
@@ -110,20 +158,23 @@ def expand_candidates(
     lo, cnt = index.lookup_batch(seeds.reshape(-1))
     cnt = cnt.reshape(seeds.shape) * valid
     lo = lo.reshape(seeds.shape)
+    dropped = int(np.maximum(cnt - cap, 0).sum())
 
-    out: list[Candidate] = []
-    hit_rows, hit_cols = np.nonzero(cnt)
-    for ridx, col in zip(hit_rows.tolist(), hit_cols.tolist()):
-        j = col >> 1
-        forward = (col & 1) == 0
-        n = min(int(cnt[ridx, col]), cap)
-        start = int(lo[ridx, col])
-        for rank in range(n):
-            r = int(index.positions[start + rank]) + (
-                0 if forward else SEED_LEN - 1
-            )
-            out.append(Candidate(ridx, j, forward, r, rank))
-    return out
+    rows, cols = np.nonzero(cnt)  # row-major == read asc, trial-priority asc
+    if len(rows) == 0:
+        return CandidateBatch.empty(), dropped
+    n = np.minimum(cnt[rows, cols], cap).astype(np.int64)
+    starts = lo[rows, cols].astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(n)[:-1]])
+    rank = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(cum, n)
+    col_rep = np.repeat(cols, n)
+    forward = (col_rep & 1) == 0
+    r_offset = index.positions[np.repeat(starts, n) + rank].astype(np.int64)
+    r_offset = r_offset + np.where(forward, 0, SEED_LEN - 1)
+    return (
+        CandidateBatch(np.repeat(rows, n), col_rep >> 1, forward, r_offset, rank),
+        dropped,
+    )
 
 
 class BatchAssembler:
@@ -201,18 +252,15 @@ class BatchAssembler:
             return res
         return score_batch(a_mat, la, b_mat, lb, la_max=LA, w_max=W, ratio=self.cfg.ratio)
 
-    def _geometry(self, cands: list[Candidate]):
-        """Per-candidate segment/reference lengths vs the round-start ref."""
+    def _geometry(self, cands: CandidateBatch):
+        """Per-candidate segment/reference lengths vs the round-start ref
+        (vectorized; fwd segment = read[j:], bwd = read[:slen-j] reversed)."""
         ref = self.ref
-        seg_len = np.zeros(len(cands), dtype=np.int64)
-        ref_len = np.zeros(len(cands), dtype=np.int64)
-        for n, c in enumerate(cands):
-            i = self.surviving[c.read]
-            slen = self.reads.length(i)
-            # fwd: segment = read[j:]; bwd: segment = read[:slen-j] reversed
-            seg_len[n] = slen - c.j
-            p = ref.beg + c.r_offset
-            ref_len[n] = (ref.post - p) if c.forward else (p - ref.pre + 1)
+        alive = np.asarray(self.surviving, dtype=np.int64)
+        slen = self.reads.lengths[alive[cands.read]].astype(np.int64)
+        seg_len = slen - cands.j
+        p = ref.beg + cands.r_offset
+        ref_len = np.where(cands.forward, ref.post - p, p - ref.pre + 1)
         return seg_len, ref_len
 
     def _materialize(self, cands, idxs, seg_len, ref_len, LB, LA):
@@ -224,16 +272,17 @@ class BatchAssembler:
         la = np.zeros(B, dtype=np.int32)
         lb = np.zeros(B, dtype=np.int32)
         for bi, n in enumerate(idxs):
-            c = cands[n]
-            i = self.surviving[c.read]
+            cj = int(cands.j[n])
+            fwd = bool(cands.forward[n])
+            i = self.surviving[int(cands.read[n])]
             codes = self.reads.codes(i)
-            if c.forward:
-                seg = codes[c.j :]
+            if fwd:
+                seg = codes[cj:]
             else:
-                seg = codes[: len(codes) - c.j][::-1]
-            p = ref.beg + c.r_offset
+                seg = codes[: len(codes) - cj][::-1]
+            p = ref.beg + int(cands.r_offset[n])
             need = min(int(ref_len[n]), LA)
-            if c.forward:
+            if fwd:
                 a = ref.buf[p : p + need]
             else:
                 a = ref.buf[p - need + 1 : p + 1][::-1]
@@ -277,21 +326,21 @@ class BatchAssembler:
         fwd = np.ones(Bp, bool)
         prel = np.zeros(Bp, np.int32)
         la = np.ones(Bp, np.int32)  # pad: la=1
-        for bi, n in enumerate(idxs):
-            c = cands[n]
-            read_row[bi] = self.surviving[c.read]
-            jv[bi] = c.j
-            fwd[bi] = c.forward
-            prel[bi] = ref.beg + c.r_offset - ref.pre
-            la[bi] = min(int(ref_len[n]), LA)
+        alive = np.asarray(self.surviving, dtype=np.int64)
+        sel = np.asarray(idxs, dtype=np.int64)
+        read_row[:B0] = alive[cands.read[sel]]
+        jv[:B0] = cands.j[sel]
+        fwd[:B0] = cands.forward[sel]
+        prel[:B0] = ref.beg + cands.r_offset[sel] - ref.pre
+        la[:B0] = np.minimum(ref_len[sel], LA)
         return builder.materialize(ref, read_row, jv, fwd, prel, la, LA, LB)
 
-    def screen(self, cands: list[Candidate]) -> np.ndarray:
+    def screen(self, cands: CandidateBatch) -> np.ndarray:
         """Device-score all candidates vs the round-start reference.
         Returns a bool accept vector aligned with `cands`."""
         cfg = self.cfg
         accept = np.zeros(len(cands), dtype=bool)
-        if not cands:
+        if len(cands) == 0:
             self._seg_len = self._ref_len = np.zeros(0, np.int64)
             return accept
 
@@ -304,7 +353,7 @@ class BatchAssembler:
         # shorter, length-sorted groups
         LB, LA, W = size_bucket(int(seg_len.max()), cfg.ratio)
         # sort by segment length (desc) so early-exit groups finish together
-        idxs = sorted(range(len(cands)), key=lambda n: -seg_len[n])
+        idxs = np.argsort(-seg_len, kind="stable")
         dev = self._device_batch(cands, idxs, ref_len, LB, LA)
         if dev is not None:
             a_mat, la, b_mat, lb = dev
@@ -316,28 +365,39 @@ class BatchAssembler:
         acc = np.asarray(res.accept)
         ma = np.asarray(res.matlen_a)
         ok = acc & (ma >= cfg.overlap_min)
-        for bi, n in enumerate(idxs):
-            accept[n] = bool(ok[bi])
-        self.dp_cells_total += int(np.asarray(res.dp_rows).sum()) * (2 * W + 1)
+        accept[idxs] = ok[: len(idxs)]
+        # per-pair reference-equivalent cells: rows x (2*max_dst + 1) with
+        # the pair's own band (not the bucket's W) so the count is
+        # comparable with the exact engine and bench.py (seq_aligner.h:
+        # 151-190; md from the clamped lengths the kernel actually used)
+        rows = np.asarray(res.dp_rows)[: len(idxs)].astype(np.int64)
+        la_used = np.minimum(ref_len[idxs], LA).astype(np.float64)
+        lb_used = seg_len[idxs].astype(np.float64)
+        md = 1 + np.floor(np.minimum(la_used, lb_used) * cfg.ratio).astype(np.int64)
+        self.dp_cells_total += int((rows * (2 * md + 1)).sum())
         return accept
 
     # ------------------------------------------------------------ phase B
 
-    def commit(self, cands: list[Candidate], accept: np.ndarray) -> int:
+    def commit(self, cands: CandidateBatch, accept: np.ndarray) -> int:
         """Commit each read's first accepted candidate, in read order.
 
         Interior alignments (the DP cannot reach the reference boundary:
         ref_len > seg_len + max_dst, so growth is impossible and mid-phase
-        growth cannot change the DP) vote straight from the device
-        traceback pass. Boundary-capable alignments go through the exact
-        sequential try_align (votes + growth vs the CURRENT reference).
-        Returns the number of consumed reads."""
-        by_read: dict[int, list[int]] = {}
-        for n, c in enumerate(cands):
-            if accept[n]:
-                by_read.setdefault(c.read, []).append(n)
-        if not by_read:
+        growth cannot change the DP) vote from the device traceback pass,
+        with ALL their edit streams applied in one merged device elect
+        (psum across the dp mesh when multiple devices are present —
+        the production form of ref_seq.h:352-362 per SURVEY §2.4; votes
+        are commutative integer sums, so the merged result equals the
+        sequential walk). Boundary-capable alignments go through the
+        exact sequential try_align (votes + growth vs the CURRENT
+        reference). Returns the number of consumed reads."""
+        acc_idx = np.nonzero(accept)[0]
+        if len(acc_idx) == 0:
             return 0
+        by_read: dict[int, list[int]] = {}
+        for n in acc_idx.tolist():
+            by_read.setdefault(int(cands.read[n]), []).append(n)
 
         seg_len, ref_len = self._seg_len, self._ref_len
         chosen = {ridx: ns[0] for ridx, ns in by_read.items()}
@@ -354,6 +414,12 @@ class BatchAssembler:
             if eligible:
                 tb = self._traceback_batch(cands, eligible, seg_len, ref_len)
 
+        # phase-start window snapshot: every interior vote lands inside
+        # [pre0, post0) and growth only writes rows outside it, so the
+        # batched elect commutes with the sequential boundary commits
+        pre0, post0 = self.ref.pre, self.ref.post
+        pending: list[tuple[int, np.ndarray, np.ndarray]] = []
+
         consumed = []
         for ridx in sorted(by_read):
             i = self.surviving[ridx]
@@ -362,33 +428,94 @@ class BatchAssembler:
             done = False
             if n0 in tb:
                 ops, vals, matlen_a, matlen_b = tb[n0]
-                c = cands[n0]
-                self.ref.elect(c.r_offset, ops, vals, c.forward)
+                cj = int(cands.j[n0])
+                fwd = bool(cands.forward[n0])
+                pending.append((n0, ops, vals))
                 if self.dump is not None:
-                    seg = codes[c.j :] if c.forward else codes[: len(codes) - c.j][::-1]
-                    ref_codes = self.ref.accessor(c.r_offset, c.forward)[:matlen_a]
+                    seg = codes[cj:] if fwd else codes[: len(codes) - cj][::-1]
+                    ref_codes = self.ref.accessor(int(cands.r_offset[n0]), fwd)[:matlen_a]
                     self.dump.write(dna.codes_to_text(ref_codes) + "\n")
                     self.dump.write(dna.codes_to_text(seg[:matlen_b]) + "\n")
                 done = True
             if not done:
                 for n in by_read[ridx]:
-                    c = cands[n]
-                    seg = codes[c.j :] if c.forward else codes[: len(codes) - c.j][::-1]
-                    res = self.ref.try_align(self._aligner, c.r_offset, seg, c.forward)
+                    cj = int(cands.j[n])
+                    fwd = bool(cands.forward[n])
+                    seg = codes[cj:] if fwd else codes[: len(codes) - cj][::-1]
+                    res = self.ref.try_align(
+                        self._aligner, int(cands.r_offset[n]), seg, fwd
+                    )
                     if res is not None:
                         if self.dump is not None:
-                            ref_codes = self.ref.accessor(c.r_offset, c.forward)[: res.matlen_a]
+                            ref_codes = self.ref.accessor(int(cands.r_offset[n]), fwd)[
+                                : res.matlen_a
+                            ]
                             self.dump.write(dna.codes_to_text(ref_codes) + "\n")
                             self.dump.write(dna.codes_to_text(seg[: res.matlen_b]) + "\n")
                         done = True
                         break
             if done:
                 consumed.append(ridx)
+        if pending:
+            self._apply_interior_votes(cands, pending, pre0, post0)
         consumed_set = set(consumed)
         self.surviving = [
             i for r, i in enumerate(self.surviving) if r not in consumed_set
         ]
         return len(consumed)
+
+    def _apply_interior_votes(
+        self,
+        cands: CandidateBatch,
+        pending: list[tuple[int, np.ndarray, np.ndarray]],
+        pre0: int,
+        post0: int,
+    ) -> None:
+        """Merge all interior edit streams through the device elect —
+        scatter-adds into (L, 4) vote tensors, psum-merged across the dp
+        mesh when >1 device is present (parallel/sharded.py; equality with
+        the serial ConsensusRef.elect is pinned by tests/test_sharding.py
+        and the single- vs multi-device assembly test in tests/test_batch.py).
+        """
+        import jax
+
+        from ..align.screen import ladder_size
+        from ..parallel import jit_elect, make_mesh, sharded_elect
+
+        ref = self.ref
+        L = post0 - pre0
+        Lp = ladder_size(L, 8192)
+        N = len(pending)
+        E = max(len(ops) for _, ops, _ in pending)
+        Ep = ladder_size(E, 256)
+
+        n_dev = len(jax.devices())
+        # multi-device: Np must divide evenly across the dp mesh
+        Np = ladder_size(N, 8 * n_dev) if n_dev > 1 else ladder_size(N, 8)
+        ops_m = np.zeros((Np, Ep), dtype=np.uint8)
+        vals_m = np.zeros((Np, Ep), dtype=np.uint8)
+        start = np.zeros(Np, dtype=np.int32)
+        fwd = np.zeros(Np, dtype=bool)
+        enabled = np.zeros(Np, dtype=bool)
+        for row, (n, ops, vals) in enumerate(pending):
+            ops_m[row, : len(ops)] = ops
+            vals_m[row, : len(vals)] = vals
+            start[row] = ref.beg + int(cands.r_offset[n]) - pre0
+            fwd[row] = bool(cands.forward[n])
+            enabled[row] = True
+
+        if n_dev > 1:
+            if self._mesh is None:
+                self._mesh = make_mesh()
+            delta = sharded_elect(
+                self._mesh, ops_m, vals_m, start, fwd, enabled, Lp
+            )
+        else:
+            delta = jit_elect(Lp)(ops_m, vals_m, start, fwd, enabled)
+        ref.sel[pre0:post0] += np.asarray(delta.sel)[:L]
+        ref.sup[pre0:post0] += np.asarray(delta.sup)[:L]
+        ref.total[pre0:post0] += np.asarray(delta.total)[:L]
+        ref.version += 1
 
     def _traceback_batch(self, cands, idxs, seg_len, ref_len):
         """Device traceback for the chosen interior candidates; returns
@@ -441,7 +568,7 @@ class BatchAssembler:
         cells_before = self.dp_cells_total
         pattern = self._pick_pattern()
         index, n_indexed = build_seedmap(self.ref.text(), pattern)
-        cands = expand_candidates(
+        cands, dropped = expand_candidates(
             self.reads, self.surviving, index, pattern, self.cfg, self._trial_cache
         )
         accept = self.screen(cands)
@@ -463,6 +590,7 @@ class BatchAssembler:
             ntrials=len(cands),
             nreads_left=len(self.surviving),
             dp_cells=self.dp_cells_total - cells_before,
+            dropped_candidates=dropped,
         )
         self.history.append(stats)
         return stats
@@ -486,10 +614,15 @@ class BatchAssembler:
         while self.nround < max_round:
             stats = self.run_round(log=log)
             if log:
+                drop = (
+                    f" dropped_candidates={stats.dropped_candidates}"
+                    if stats.dropped_candidates
+                    else ""
+                )
                 log.write(
                     f"--- batch round {stats.nround}: matches={stats.nmatches} "
                     f"ref_len={stats.ref_len} candidates={stats.ntrials} "
-                    f"reads_left={stats.nreads_left}\n"
+                    f"reads_left={stats.nreads_left}{drop}\n"
                 )
             if metrics:
                 metrics.round(stats)

@@ -37,6 +37,11 @@ class RoundStats:
     ntrials: int
     nreads_left: int
     dp_cells: int  # banded-DP cells attempted this round (perf accounting)
+    # index hits beyond bucket_max_candidates that were NOT expanded this
+    # round (batch engine only; the reference tries every candidate in a
+    # bucket, spaced_seed.cpp:282-296 — a nonzero value flags repetitive
+    # genomes where the cap bites)
+    dropped_candidates: int = 0
 
 
 def init_reference(

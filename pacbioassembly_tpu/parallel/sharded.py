@@ -21,6 +21,7 @@ SURVEY.md §2.4 calls for.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -78,20 +79,11 @@ def device_elect(
     return VoteDelta(sel, sup, total)
 
 
-def sharded_screen(
-    mesh: Mesh,
-    a: jax.Array,
-    la: jax.Array,
-    b: jax.Array,
-    lb: jax.Array,
-    *,
-    la_max: int,
-    w_max: int,
-    ratio: float = Constants.MAXR,
-    backend: str = "scan",
-) -> BatchScores:
-    """Screen candidates sharded over the dp axis. Batch size must be a
-    multiple of mesh size; outputs are sharded the same way."""
+@functools.lru_cache(maxsize=None)
+def _sharded_screen_fn(mesh: Mesh, la_max: int, w_max: int, ratio: float, backend: str):
+    """Jitted sharded screen, cached per (mesh, geometry, backend) so
+    repeated rounds reuse the compiled executable instead of retracing a
+    fresh closure every call."""
 
     def kernel(a_s, la_s, b_s, lb_s):
         if backend == "bitpallas":
@@ -114,21 +106,28 @@ def sharded_screen(
         in_specs=(P("dp", None), P("dp"), P("dp", None), P("dp")),
         out_specs=BatchScores(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
     )
-    return jax.jit(fn)(a, la, b, lb)
+    return jax.jit(fn)
 
 
-def sharded_elect(
+def sharded_screen(
     mesh: Mesh,
-    ops: jax.Array,
-    vals: jax.Array,
-    start: jax.Array,
-    forward: jax.Array,
-    enabled: jax.Array,
-    L: int,
-) -> VoteDelta:
-    """Apply sharded edit streams and psum-merge the vote tensors; the
-    result is replicated on every device and equals the serial elect."""
+    a: jax.Array,
+    la: jax.Array,
+    b: jax.Array,
+    lb: jax.Array,
+    *,
+    la_max: int,
+    w_max: int,
+    ratio: float = Constants.MAXR,
+    backend: str = "scan",
+) -> BatchScores:
+    """Screen candidates sharded over the dp axis. Batch size must be a
+    multiple of mesh size; outputs are sharded the same way."""
+    return _sharded_screen_fn(mesh, la_max, w_max, ratio, backend)(a, la, b, lb)
 
+
+@functools.lru_cache(maxsize=None)
+def _sharded_elect_fn(mesh: Mesh, L: int):
     def kernel(ops_s, vals_s, start_s, fwd_s, en_s):
         delta = device_elect(ops_s, vals_s, start_s, fwd_s, en_s, L)
         return VoteDelta(
@@ -143,7 +142,28 @@ def sharded_elect(
         in_specs=(P("dp", None), P("dp", None), P("dp"), P("dp"), P("dp")),
         out_specs=VoteDelta(P(), P(), P()),
     )
-    return jax.jit(fn)(ops, vals, start, forward, enabled)
+    return jax.jit(fn)
+
+
+def sharded_elect(
+    mesh: Mesh,
+    ops: jax.Array,
+    vals: jax.Array,
+    start: jax.Array,
+    forward: jax.Array,
+    enabled: jax.Array,
+    L: int,
+) -> VoteDelta:
+    """Apply sharded edit streams and psum-merge the vote tensors; the
+    result is replicated on every device and equals the serial elect."""
+    return _sharded_elect_fn(mesh, L)(ops, vals, start, forward, enabled)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_elect(L: int):
+    """Single-device jitted device_elect with static window length L
+    (callers ladder L so only a handful of shapes ever compile)."""
+    return jax.jit(functools.partial(device_elect, L=L))
 
 
 def assembly_step(

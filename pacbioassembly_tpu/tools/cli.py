@@ -87,51 +87,60 @@ def cmd_assemble(args) -> int:
 
 def cmd_locate(args) -> int:
     """Map stdin reads onto a contig; prints TSV
-    nseq, ref_pos, final_cost, len-j, diag_cost (locator.cpp:68-92)."""
-    from ..align import exact_align
-    
+    nseq, ref_pos, final_cost, len-j, diag_cost (locator.cpp:68-92).
+
+    Default path: batched device screening over all (read, seed-offset,
+    candidate) triples (tools/locate.py). --host-loop runs the sequential
+    per-triple exact aligner instead (the literal reference loop shape);
+    both produce identical TSV (tests/test_pipeline.py)."""
     from ..codec import dna
-    from ..index import build_seedmap
 
     with open(args.contig) as fh:
         contig = fh.read().split()[0]
-    # N -> A (locator.cpp:57-60) happens inside text_to_codes? No: N maps to
-    # T by C2I; locator explicitly converts N to A first.
+    # locator.cpp:57-60 converts N to A explicitly (C2I alone would map
+    # N to T).
     contig = contig.replace("N", "A")
     contig_codes = dna.text_to_codes(contig)
     pattern = dna.parse_pattern(args.seed)
+    seqs = [dna.text_to_codes(w) for line in sys.stdin for w in line.split()]
+
+    if not args.host_loop:
+        from .locate import locate_batched
+
+        return locate_batched(contig_codes, pattern, seqs, args.ratio)
+
+    from ..align import exact_align
+    from ..index import build_seedmap
+    from .locate import MAXM, MAXN, MAX_TRIAL_J, MIN_READ
 
     # full index of every position (locator.cpp:62-66)
     idx, _ = build_seedmap(contig_codes, pattern, max_read_len=len(contig_codes))
 
-    maxn, maxm = 40_000, 6_000  # locator.cpp:24-25
     nseq = 0
-    for line in sys.stdin:
-        for word in line.split():
-            seq = dna.text_to_codes(word)
-            if len(seq) < 500:
+    for seq in seqs:
+        if len(seq) < MIN_READ:
+            continue  # does NOT count: the reference ++nseq is skipped too
+        found = False
+        for j in range(MAX_TRIAL_J):
+            if j + 16 > len(seq):
+                break
+            key = dna.encode_seed(seq, j) & pattern
+            cands = idx.lookup(key)
+            if len(cands) == 0:
                 continue
-            found = False
-            for j in range(50):
-                if j + 16 > len(seq):
+            seg = seq[j:]
+            for cand in cands:
+                ref = contig_codes[int(cand) :]
+                res = exact_align(seg, ref, ratio=args.ratio, maxn=MAXN, maxm=MAXM)
+                if res is not None and res.matlen_b > 0:
+                    print(
+                        f"{nseq}\t{int(cand)}\t{res.cost}\t{len(seq) - j}\t{res.diag_cost}"
+                    )
+                    found = True
                     break
-                key = dna.encode_seed(seq, j) & pattern
-                cands = idx.lookup(key)
-                if len(cands) == 0:
-                    continue
-                seg = seq[j:]
-                for cand in cands:
-                    ref = contig_codes[int(cand) :]
-                    res = exact_align(seg, ref, ratio=args.ratio, maxn=maxn, maxm=maxm)
-                    if res is not None and res.matlen_b > 0:
-                        print(
-                            f"{nseq}\t{int(cand)}\t{res.cost}\t{len(seq) - j}\t{res.diag_cost}"
-                        )
-                        found = True
-                        break
-                if found:
-                    break
-            nseq += 1
+            if found:
+                break
+        nseq += 1
     print(f"totally {nseq} sequences processed", file=sys.stderr)
     return 0
 
@@ -257,6 +266,11 @@ def main(argv=None) -> int:
     p.add_argument("contig")
     p.add_argument("seed")
     p.add_argument("-r", "--ratio", type=float, default=0.15)
+    p.add_argument(
+        "--host-loop",
+        action="store_true",
+        help="sequential per-triple exact aligner instead of batched device screening",
+    )
     p.set_defaults(fn=cmd_locate)
 
     p = sub.add_parser("visualize", help="render stdin (ref, seg) alignments")

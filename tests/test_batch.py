@@ -42,8 +42,15 @@ def run_batch():
     return asm
 
 
-def test_batch_engine_assembles_and_is_deterministic():
-    asm1 = run_batch()
+@pytest.fixture(scope="module")
+def batch_asm():
+    """One shared full batch-engine assembly (multi-device: the suite's 8
+    virtual CPU devices make this the sharded screen + psum elect path)."""
+    return run_batch()
+
+
+def test_batch_engine_assembles_and_is_deterministic(batch_asm):
+    asm1 = batch_asm
     assert len(asm1.surviving) == 0, "all reads consumed"
 
     golden = open(data("golden_consensus_spaced.txt")).read().splitlines()[-1]
@@ -83,6 +90,87 @@ def test_batch_engine_random_schedule_and_random_init():
     np.testing.assert_array_equal(asm1.ref.text(), asm2.ref.text())
 
 
+def test_multidevice_assembly_equals_single_device(monkeypatch, batch_asm):
+    """The production multi-device round (shard_map screening + psum vote
+    merge on the 8-virtual-device dp mesh) must produce the IDENTICAL
+    consensus to the same engine pinned to one device — the end-to-end form
+    of the psum==serial elect equivalence (SURVEY.md §2.4, ref_seq.h:352-362).
+    """
+    import jax
+
+    asm_multi = batch_asm  # conftest provides 8 virtual CPU devices
+    assert len(jax.devices()) == 8, "suite must run on the 8-device mesh"
+
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+    asm_single = run_batch()
+
+    np.testing.assert_array_equal(asm_multi.ref.text(), asm_single.ref.text())
+    assert asm_multi.surviving == asm_single.surviving
+    # both paths actually exercised device voting
+    assert [s.nmatches for s in asm_multi.history] == [
+        s.nmatches for s in asm_single.history
+    ]
+
+
+def test_trial_seed_cache_vectorized_matches_scalar():
+    """_gather_trial_seeds must equal the scalar dna.seed_at /
+    ReadStore.quirk_seed per cell, for both quirk settings."""
+    from pacbioassembly_tpu.assemble.batch import SEED_LEN, TrialSeedCache
+
+    for quirk in (False, True):
+        cfg = AssemblyConfig(quirk_seed_at=quirk, max_trial=16)
+        reads = ReadStore.from_file(data("synth_reads.bin"), cfg)
+        cache = TrialSeedCache(reads, cfg)
+        T = cfg.max_trial
+        for i in range(min(5, len(reads))):
+            codes = reads.codes(i)
+            slen = len(codes)
+            for j in range(T):
+                for col, pos in ((2 * j, j), (2 * j + 1, slen - SEED_LEN - j)):
+                    if j >= min(T, slen - SEED_LEN + 1):
+                        assert not cache.valid[i, col]
+                        continue
+                    want = (
+                        reads.quirk_seed(i, pos)
+                        if quirk
+                        else dna.seed_at(reads.record(i), pos)
+                    )
+                    assert cache.seeds[i, col] == want, (quirk, i, j, col, pos)
+                    assert cache.valid[i, col] == (slen - j >= cfg.overlap_min)
+
+
+def test_dropped_candidates_stat_on_repetitive_reference(tmp_path):
+    """A repetitive reference overflows bucket_max_candidates; the drop must
+    be surfaced in RoundStats (the reference tries every candidate in a
+    bucket, spaced_seed.cpp:282-296)."""
+    from pacbioassembly_tpu.codec import binary_io
+
+    rng = np.random.default_rng(5)
+    unit = rng.integers(0, 4, 40)
+    genome = np.tile(unit, 80).astype(np.uint8)  # 3200 bp, period 40
+    texts = []
+    for s in range(0, len(genome) - 600, 120):
+        texts.append(dna.codes_to_text(genome[s : s + 600]))
+    binfile = tmp_path / "rep.bin"
+    binary_io.texts_to_binary_file(iter(texts), str(binfile))
+    init = tmp_path / "init.txt"
+    init.write_text(dna.codes_to_text(genome[:800]) + "\n5\n")
+
+    cfg = AssemblyConfig(
+        initial_ref_path=str(init),
+        max_round=1,
+        pattern_schedule="roundrobin",
+        engine="batch",
+        bucket_max_candidates=2,
+    )
+    reads = ReadStore.from_file(str(binfile), cfg)
+    patterns = [dna.parse_pattern("1111111111111111")]
+    asm = BatchAssembler(cfg, reads, patterns)
+    stats = asm.run_round()
+    assert stats.dropped_candidates > 0
+
+
 def test_readstore_mmap_equivalent():
     cfg = AssemblyConfig()
     r1 = ReadStore.from_file(data("synth_reads.bin"), cfg, mmap=False)
@@ -120,7 +208,7 @@ def test_device_materialize_equivalent(monkeypatch):
 
     pattern = patterns[0]
     index, _ = build_seedmap(asm.ref.text(), pattern)
-    cands = expand_candidates(
+    cands, _ = expand_candidates(
         asm.reads, asm.surviving, index, pattern, cfg, asm._trial_cache
     )
     assert cands, "fixture must produce candidates"

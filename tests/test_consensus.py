@@ -248,3 +248,63 @@ def test_state_dict_roundtrip(ref):
     np.testing.assert_array_equal(
         ref.sel[ref.pre : ref.post], ref2.sel[ref2.pre : ref2.post]
     )
+
+
+def _random_vote_state(rng, L, cap=3 * 4096):
+    """A ConsensusRef with randomized vote tensors exercising every evolve
+    branch: valid/invalid boxes, supplied splits, absorb chains."""
+    base = rng.integers(0, 4, L).astype(np.uint8)
+    ref = ConsensusRef(base, capacity=cap, overlap_min=16)
+    n = ref.post - ref.pre
+    ref.sel[ref.pre : ref.post] = rng.integers(0, 6, (n, 4)).astype(np.int32)
+    ref.sup[ref.pre : ref.post] = np.where(
+        rng.random((n, 4)) < 0.15, rng.integers(1, 6, (n, 4)), 0
+    ).astype(np.int32)
+    ref.total[ref.pre : ref.post] = rng.integers(1, 8, n).astype(np.int32)
+    return ref
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_device_evolve_equals_numpy(seed):
+    """The jitted device evolve (consensus/device.py) must be bit-equal to
+    the numpy evolve (ref_seq.h:317-349 semantics) on randomized vote
+    tensors — every consensus op has a device form (SURVEY.md §3.2)."""
+    from pacbioassembly_tpu.consensus.device import evolve_on_device
+
+    rng = np.random.default_rng(seed)
+    L = int(rng.integers(50, 400))
+    ref_np = _random_vote_state(np.random.default_rng(seed + 100), L)
+    ref_dev = _random_vote_state(np.random.default_rng(seed + 100), L)
+
+    ref_np.evolve()
+    evolve_on_device(ref_dev)
+
+    assert ref_dev.length() == ref_np.length()
+    np.testing.assert_array_equal(ref_dev.text(), ref_np.text())
+    np.testing.assert_array_equal(
+        ref_dev.sel[ref_dev.pre : ref_dev.post],
+        ref_np.sel[ref_np.pre : ref_np.post],
+    )
+    np.testing.assert_array_equal(
+        ref_dev.sup[ref_dev.pre : ref_dev.post],
+        ref_np.sup[ref_np.pre : ref_np.post],
+    )
+    np.testing.assert_array_equal(
+        ref_dev.total[ref_dev.pre : ref_dev.post],
+        ref_np.total[ref_np.pre : ref_np.post],
+    )
+
+
+def test_device_evolve_after_real_votes(ref):
+    """Device evolve after a genuine align->vote cycle matches numpy."""
+    from pacbioassembly_tpu.consensus.device import evolve_on_device
+
+    ref2 = ConsensusRef(codes(DNA_TXT), capacity=3 * 4096, overlap_min=16)
+    for r, seg in ((ref, fwd_seg(DNA_TXT2)), (ref2, fwd_seg(DNA_TXT2))):
+        assert r.try_align(exact_align, 0, seg, True) is not None
+    ref.evolve()
+    evolve_on_device(ref2)
+    np.testing.assert_array_equal(ref.text(), ref2.text())
+    np.testing.assert_array_equal(
+        ref.sup[ref.pre : ref.post], ref2.sup[ref2.pre : ref2.post]
+    )

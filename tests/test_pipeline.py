@@ -68,10 +68,16 @@ def test_assembly_consumes_all_reads():
     assert asm.history[-1].nmatches == 0
 
 
-def test_locator_parity(capsys, monkeypatch):
+@pytest.mark.parametrize("mode", ["batched", "host-loop"])
+def test_locator_parity(capsys, monkeypatch, mode):
+    """Both the default batched-device locator (tools/locate.py) and the
+    sequential host loop must match the reference binary's golden TSV."""
     stdin = io.StringIO(open(data("synth_reads.txt")).read())
     monkeypatch.setattr("sys.stdin", stdin)
-    cli.main(["locate", data("synth_genome.txt"), "1111111111111111"])
+    argv = ["locate", data("synth_genome.txt"), "1111111111111111"]
+    if mode == "host-loop":
+        argv.append("--host-loop")
+    cli.main(argv)
     out = capsys.readouterr().out
     assert out == open(data("golden_locator.txt")).read()
 
