@@ -305,10 +305,10 @@ def _kernel(
             ).astype(jnp.int32)
             S_c_new = S_c + dh + dv
 
-            fail_now = (
-                centermask & active & (i > 10) & (S_c_new > thr)
-            ).astype(jnp.int32)
-            failed = jnp.maximum(failed, fail_now)
+            # `failed` records the FIRST failing column (0 = never failed),
+            # giving the reference-equivalent abort row for dp accounting
+            fail_now = centermask & active & (i > 10) & (S_c_new > thr)
+            failed = jnp.where(fail_now & (failed == 0), jnp.int32(i), failed)
 
             cap = lena == i
             fVP = jnp.where(cap, VPp_new, fVP)
@@ -527,7 +527,8 @@ def batch_score_bitpallas(
     fVP = unpack_lanes(out_words[:, :L])
     fVN = unpack_lanes(out_words[:, L:])
     S_c = unpack_lanes(out_scal[:, :L])[:, cen >> 5]
-    failed = unpack_lanes(out_scal[:, L:])[:, cen >> 5] != 0
+    fail_col = unpack_lanes(out_scal[:, L:])[:, cen >> 5]
+    failed = fail_col != 0
 
     # far-row goal (seq_aligner.h:205-212 / bitparallel.py post-loop):
     # D(klena, klena + e) = S_c + cumsum of vertical deltas above center.
@@ -564,4 +565,8 @@ def batch_score_bitpallas(
         & (matlen_b >= accept_min[jnp.clip(len_b, 0, tab_len)])
         & (cost < INF32)
     )
-    return BatchScores(accept, cost, matlen_a, matlen_b, diag_cost, len_a)
+    # reference-equivalent rows: the serial DP aborts at the early-failure
+    # row (seq_aligner.h:185-187); the kernel itself runs min(len_a, len_b)
+    # columns (transpose normalization) at 32-column early-exit granularity
+    rows = jnp.where(ok_size != 0, jnp.where(failed, fail_col, klena), 0)
+    return BatchScores(accept, cost, matlen_a, matlen_b, diag_cost, rows)

@@ -107,9 +107,10 @@ def batch_score(
         # input so shard_map's varying-axis tracking accepts the scan
         failed0 = la_i < 0  # always False
         final_row0 = jnp.full(S, INF, jnp.int32) + la_i * 0
+        fail_i0 = jnp.int32(0) + la_i * 0  # first early-failure row (0 = none)
 
         def row(carry, i):
-            prev, failed, final_row = carry
+            prev, failed, final_row, fail_i = carry
             active = i <= len_a
             j = k_idx + (i - W)
             in_band = jnp.abs(k_idx - W) <= md
@@ -131,6 +132,7 @@ def batch_score(
                 & (i <= len_b)
                 & (cur[W] > early_thr[jnp.minimum(i, tab_len)])
             )
+            fail_i = jnp.where(fail_now & ~failed, i, fail_i)
             failed = failed | fail_now
             final_row = jnp.where(i == len_a, cur, final_row)
 
@@ -139,11 +141,11 @@ def batch_score(
             col_cost = jnp.where(col_ok, cur[jnp.clip(k_col, 0, S - 1)], INF)
 
             prev = jnp.where(active, cur, prev)
-            return (prev, failed, final_row), col_cost
+            return (prev, failed, final_row, fail_i), col_cost
 
-        (prev, failed, final_row), col_list = jax.lax.scan(
+        (prev, failed, final_row, fail_i), col_list = jax.lax.scan(
             row,
-            (prev0, failed0, final_row0),
+            (prev0, failed0, final_row0, fail_i0),
             jnp.arange(1, la_max + 1, dtype=jnp.int32),
         )
 
@@ -174,7 +176,10 @@ def batch_score(
             & (cost < INF)
         )
         diag_cost = jnp.where(len_a <= len_b, final_row[W], -1)
-        return accept, cost, matlen_a, matlen_b, diag_cost, len_a
+        # reference-equivalent rows: the serial DP aborts at the early-
+        # failure row (seq_aligner.h:185-187), so count rows only up to it
+        rows = jnp.where(ok_size, jnp.where(failed, fail_i, len_a), 0)
+        return accept, cost, matlen_a, matlen_b, diag_cost, rows
 
     accept, cost, ma, mb, dc, rows = jax.vmap(one)(a, la, b, lb)
     return BatchScores(accept, cost, ma, mb, dc, rows)

@@ -564,15 +564,22 @@ class BatchAssembler:
     # ------------------------------------------------------------ rounds
 
     def run_round(self, log: Optional[TextIO] = None) -> RoundStats:
+        import time
+
         self.nround += 1
         cells_before = self.dp_cells_total
         pattern = self._pick_pattern()
+        t0 = time.perf_counter()
         index, n_indexed = build_seedmap(self.ref.text(), pattern)
+        t1 = time.perf_counter()
         cands, dropped = expand_candidates(
             self.reads, self.surviving, index, pattern, self.cfg, self._trial_cache
         )
+        t2 = time.perf_counter()
         accept = self.screen(cands)
+        t3 = time.perf_counter()
         nmatches = self.commit(cands, accept)
+        t4 = time.perf_counter()
 
         if nmatches != 0:
             self.nfailure = 0
@@ -580,6 +587,14 @@ class BatchAssembler:
             self.nfailure += 1
         if self.nfailure < len(self.patterns):
             self.ref.evolve()
+        t5 = time.perf_counter()
+        self.phase_s = {
+            "seedmap_s": round(t1 - t0, 4),
+            "expand_s": round(t2 - t1, 4),
+            "screen_s": round(t3 - t2, 4),
+            "commit_s": round(t4 - t3, 4),
+            "evolve_s": round(t5 - t4, 4),
+        }
 
         stats = RoundStats(
             nround=self.nround,
@@ -625,7 +640,7 @@ class BatchAssembler:
                     f"reads_left={stats.nreads_left}{drop}\n"
                 )
             if metrics:
-                metrics.round(stats)
+                metrics.round(stats, extra=getattr(self, "phase_s", None))
             if cfg.checkpoint_path and cfg.checkpoint_every and (
                 self.nround % cfg.checkpoint_every == 0
             ):

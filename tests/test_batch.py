@@ -171,6 +171,53 @@ def test_dropped_candidates_stat_on_repetitive_reference(tmp_path):
     assert stats.dropped_candidates > 0
 
 
+def test_batch_convergence_on_noisy_data(tmp_path):
+    """Quantified convergence on 9%-error data (VERDICT r1 weak item 7):
+    the batch engine's round-start-reference discovery defers some reads to
+    later rounds (documented divergence from the exact engine); this pins
+    that deferral stays bounded — the engine must still consume ~all reads,
+    rebuild ~the whole genome, and drive the residual error well below the
+    input error (doc/final.tex:263-277 quality bar). (At 12-15% raw error
+    the algorithm plateaus by design: the reference itself assembled only
+    120,914 bp of the 4.6 Mb genome from raw error reads.)"""
+    from pacbioassembly_tpu.codec import binary_io
+    from pacbioassembly_tpu.tools.simulate import SimConfig, simulate
+
+    sim = SimConfig(
+        genome_len=24_000, coverage=12.0, mean_read_len=800,
+        min_read_len=600, max_read_len=1000,
+        sub_rate=0.03, ins_rate=0.03, del_rate=0.03, seed=9,
+    )
+    genome, read_list, _ = simulate(sim)
+    binfile = tmp_path / "noisy.bin"
+    with open(binfile, "wb") as fh:
+        binary_io.write_records(fh, read_list)
+
+    cfg = AssemblyConfig(
+        engine="batch", rng_seed=3, pattern_schedule="random", max_round=50
+    )
+    reads = ReadStore.from_file(str(binfile), cfg)
+    patterns = load_patterns(data("seeds.txt"))
+    asm = BatchAssembler(cfg, reads, patterns)
+    asm.run(out=io.StringIO(), log=None)
+
+    n = len(reads)
+    leftover = len(asm.surviving)
+    assert leftover <= 0.05 * n, f"deferred too many reads: {leftover}/{n}"
+    assert abs(asm.ref.length() - len(genome)) < 0.1 * len(genome)
+
+    # residual error via 16-mer identity (an anchored whole-contig
+    # alignment would need the contig's genome offset; the k-mer share is
+    # offset-free): share ~ (1 - e)^16, so share > 0.6 bounds e < ~3.2%,
+    # far below the 9% input error (raw-read share would be ~0.22)
+    genome_kmers = set(dna.sliding_seeds(genome).tolist())
+    contig_kmers = dna.sliding_seeds(asm.ref.text())
+    share = np.mean([k in genome_kmers for k in contig_kmers.tolist()])
+    assert share > 0.6, f"16-mer identity share {share:.3f}"
+    # deferral profile: every consumed read was matched exactly once
+    assert sum(s.nmatches for s in asm.history) == n - leftover
+
+
 def test_readstore_mmap_equivalent():
     cfg = AssemblyConfig()
     r1 = ReadStore.from_file(data("synth_reads.bin"), cfg, mmap=False)
