@@ -108,11 +108,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _plan(w_max: int):
-    """Static geometry: center bit, words per stripe, lane width, blocks."""
+    """Static geometry: center bit, words per stripe, lane width, blocks.
+
+    NB lane-blocking packs NB pairs side by side in the 128-lane dim to
+    recover dead lanes when the stripe is narrow. Historically pinned to 1
+    (273 s Mosaic compiles at SL=64 for +15% runtime); env-tunable for
+    re-measurement now that the persistent compile cache amortizes the
+    compile (PBTPU_BITWAVE_NB=0 picks the largest NB that fits)."""
     cen = 16 if w_max <= 16 else _round_up(w_max - 16, 32) + 16
     words = (cen + w_max) // 32 + 2  # stripe top + carry-overflow slack
     lanes = _round_up(words + 1, CHUNK)
-    nb = 1  # lane-blocking measured slower to compile+run than wide sublanes
+    nb_req = int(os.environ.get("PBTPU_BITWAVE_NB", "1"))
+    if nb_req <= 0:
+        nb_req = CHUNK  # auto: widest block count that fits
+    nb = 1
+    for cand in range(min(nb_req, lanes // (words + 1)), 0, -1):
+        if lanes % cand == 0 and lanes // cand > words:
+            nb = cand
+            break
     bw = lanes // nb
     return cen, words, lanes, nb, bw
 
@@ -359,8 +372,8 @@ def batch_score_bitpallas(
     KA = _round_up(cols_max + UNROLL + 1, CHUNK)
     KB = max(LA, LB)
     PBL = _round_up(-(-(KB + cen + w_max + 2) // 32) + 1, CHUNK)
-    if NB > 1:
-        assert PBL == L, (PBL, L)  # small-band geometry always fits one vreg
+    if NB > 1 and PBL != L:
+        NB, BW = 1, L  # lane-blocked PEQ windows need the one-vreg geometry
     SLC = _pick_sl(KA, PBL, L, NB)
     T_pad = KA
     tab_len = max(la_max, LB, LA) + 2

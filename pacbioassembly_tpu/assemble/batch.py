@@ -167,14 +167,25 @@ def expand_candidates(
     starts = lo[rows, cols].astype(np.int64)
     cum = np.concatenate([[0], np.cumsum(n)[:-1]])
     rank = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(cum, n)
+    read_rep = np.repeat(rows, n)
     col_rep = np.repeat(cols, n)
     forward = (col_rep & 1) == 0
+    j = col_rep >> 1
     r_offset = index.positions[np.repeat(starts, n) + rank].astype(np.int64)
     r_offset = r_offset + np.where(forward, 0, SEED_LEN - 1)
-    return (
-        CandidateBatch(np.repeat(rows, n), col_rep >> 1, forward, r_offset, rank),
-        dropped,
-    )
+
+    if cfg.dedupe_diagonals and len(read_rep):
+        # probes (j, r) and (j+k, r+k) of one read target the same overlap
+        # diagonal; keep only the first (= highest trial priority, the one
+        # the reference would commit, spaced_seed.cpp:424-439)
+        diag = np.where(forward, r_offset - j, r_offset + j)
+        key = (read_rep << 28) | ((diag + (1 << 25)) << 1) | forward
+        _, first = np.unique(key, return_index=True)
+        keep = np.sort(first)
+        read_rep, j, forward = read_rep[keep], j[keep], forward[keep]
+        r_offset, rank = r_offset[keep], rank[keep]
+
+    return CandidateBatch(read_rep, j, forward, r_offset, rank), dropped
 
 
 class BatchAssembler:
@@ -295,37 +306,28 @@ class BatchAssembler:
         la = np.minimum(la, LA).astype(np.int32)
         return a_mat, la, b_mat, lb
 
-    def _device_batch(self, cands, idxs, ref_len, LB, LA):
-        """Materialize the screening batch on device (assemble/gather.py):
-        only six int32s per candidate cross the host->device link instead
-        of LA+LB codes. Returns None when the host path should be used
-        (disabled, multi-device sharding, or reads too large for a dense
-        device matrix)."""
-        cfg = self.cfg
-        if not cfg.device_materialize:
+    def _builder(self):
+        """The device batch builder, or None when the host path must be
+        used (disabled, or reads too large for a dense device matrix)."""
+        if not self.cfg.device_materialize:
             return None
-        import jax
-
-        if len(jax.devices()) > 1 and len(idxs) >= len(jax.devices()):
-            return None  # the sharded host path splits batches per device
         if self._device_builder is None:
             from .gather import DeviceBatchBuilder
 
-            self._device_builder = DeviceBatchBuilder(self.reads, cfg)
-        builder = self._device_builder
-        if not builder.ok:
-            return None
+            self._device_builder = DeviceBatchBuilder(self.reads, self.cfg)
+        return self._device_builder if self._device_builder.ok else None
 
-        from ..align.screen import ladder_size
-
+    def _device_vectors(self, cands, idxs, ref_len, LA, pad_to):
+        """Host-side int vectors describing a candidate batch for the
+        device gather (six int32s per candidate instead of LA+LB codes).
+        Pad rows carry la=lb=1 (cheap in-kernel rejects)."""
         ref = self.ref
         B0 = len(idxs)
-        Bp = ladder_size(B0)
-        read_row = np.zeros(Bp, np.int32)
-        jv = np.full(Bp, int(self.reads.lengths[0]) - 1, np.int32)  # pad: lb=1
-        fwd = np.ones(Bp, bool)
-        prel = np.zeros(Bp, np.int32)
-        la = np.ones(Bp, np.int32)  # pad: la=1
+        read_row = np.zeros(pad_to, np.int32)
+        jv = np.full(pad_to, int(self.reads.lengths[0]) - 1, np.int32)  # pad: lb=1
+        fwd = np.ones(pad_to, bool)
+        prel = np.zeros(pad_to, np.int32)
+        la = np.ones(pad_to, np.int32)  # pad: la=1
         alive = np.asarray(self.surviving, dtype=np.int64)
         sel = np.asarray(idxs, dtype=np.int64)
         read_row[:B0] = alive[cands.read[sel]]
@@ -333,7 +335,40 @@ class BatchAssembler:
         fwd[:B0] = cands.forward[sel]
         prel[:B0] = ref.beg + cands.r_offset[sel] - ref.pre
         la[:B0] = np.minimum(ref_len[sel], LA)
-        return builder.materialize(ref, read_row, jv, fwd, prel, la, LA, LB)
+        return read_row, jv, fwd, prel, la
+
+    def _fusable(self, nidx: int) -> bool:
+        """Fused single-dispatch device paths apply on a single device with
+        the dense read matrix resident (multi-device screening shards
+        host-packed batches instead)."""
+        import jax
+
+        if len(jax.devices()) > 1 and nidx >= len(jax.devices()):
+            return False
+        from ..align.screen import screening_backend
+
+        if screening_backend().endswith("_interpret"):
+            return False
+        return self._builder() is not None
+
+    def _device_batch(self, cands, idxs, ref_len, LB, LA, pad_to=None):
+        """Materialize the screening batch on device (assemble/gather.py).
+        Returns None when the host path should be used. pad_to overrides
+        the default ladder padding (the traceback pass pads to its chunk
+        size instead)."""
+        import jax
+
+        if len(jax.devices()) > 1 and len(idxs) >= len(jax.devices()):
+            return None  # the sharded host path splits batches per device
+        builder = self._builder()
+        if builder is None:
+            return None
+
+        from ..align.screen import ladder_size
+
+        Bp = pad_to if pad_to is not None else ladder_size(len(idxs))
+        vecs = self._device_vectors(cands, idxs, ref_len, LA, Bp)
+        return builder.materialize(self.ref, *vecs, LA, LB)
 
     def screen(self, cands: CandidateBatch) -> np.ndarray:
         """Device-score all candidates vs the round-start reference.
@@ -354,23 +389,41 @@ class BatchAssembler:
         LB, LA, W = size_bucket(int(seg_len.max()), cfg.ratio)
         # sort by segment length (desc) so early-exit groups finish together
         idxs = np.argsort(-seg_len, kind="stable")
-        dev = self._device_batch(cands, idxs, ref_len, LB, LA)
-        if dev is not None:
-            a_mat, la, b_mat, lb = dev
-        else:
-            a_mat, la, b_mat, lb = self._materialize(
-                cands, idxs, seg_len, ref_len, LB, LA
+        if self._fusable(len(idxs)):
+            # fused single-dispatch path: materialize+score in ONE jitted
+            # call, ONE packed fetch (round-trip count bounds round time on
+            # remote links)
+            from ..align.screen import ladder_size, screening_backend
+
+            vecs = self._device_vectors(
+                cands, idxs, ref_len, LA, ladder_size(len(idxs))
             )
-        res = self._score(a_mat, la, b_mat, lb, LA, W)
-        acc = np.asarray(res.accept)
-        ma = np.asarray(res.matlen_a)
+            packed = self._builder().score(
+                self.ref, *vecs, LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
+                backend=screening_backend(),
+            )
+            acc = packed[:, 0] != 0
+            ma = packed[:, 1]
+            rows_all = packed[:, 2]
+        else:
+            dev = self._device_batch(cands, idxs, ref_len, LB, LA)
+            if dev is not None:
+                a_mat, la, b_mat, lb = dev
+            else:
+                a_mat, la, b_mat, lb = self._materialize(
+                    cands, idxs, seg_len, ref_len, LB, LA
+                )
+            res = self._score(a_mat, la, b_mat, lb, LA, W)
+            acc = np.asarray(res.accept)
+            ma = np.asarray(res.matlen_a)
+            rows_all = np.asarray(res.dp_rows)
         ok = acc & (ma >= cfg.overlap_min)
         accept[idxs] = ok[: len(idxs)]
         # per-pair reference-equivalent cells: rows x (2*max_dst + 1) with
         # the pair's own band (not the bucket's W) so the count is
         # comparable with the exact engine and bench.py (seq_aligner.h:
         # 151-190; md from the clamped lengths the kernel actually used)
-        rows = np.asarray(res.dp_rows)[: len(idxs)].astype(np.int64)
+        rows = rows_all[: len(idxs)].astype(np.int64)
         la_used = np.minimum(ref_len[idxs], LA).astype(np.float64)
         lb_used = seg_len[idxs].astype(np.float64)
         md = 1 + np.floor(np.minimum(la_used, lb_used) * cfg.ratio).astype(np.int64)
@@ -408,11 +461,15 @@ class BatchAssembler:
             md = 1 + int(min(sl, rl) * self.cfg.ratio)
             return rl > sl + md
 
+        import time as _time
+
+        t_tb0 = _time.perf_counter()
         tb = {}
         if self.cfg.device_traceback:
             eligible = [n for n in chosen.values() if interior(n)]
             if eligible:
                 tb = self._traceback_batch(cands, eligible, seg_len, ref_len)
+        t_tb1 = _time.perf_counter()
 
         # phase-start window snapshot: every interior vote lands inside
         # [pre0, post0) and growth only writes rows outside it, so the
@@ -456,8 +513,15 @@ class BatchAssembler:
                         break
             if done:
                 consumed.append(ridx)
+        t_host = _time.perf_counter()
         if pending:
             self._apply_interior_votes(cands, pending, pre0, post0)
+        t_elect = _time.perf_counter()
+        self.commit_phase_s = {
+            "tb_s": round(t_tb1 - t_tb0, 4),
+            "host_commit_s": round(t_host - t_tb1, 4),
+            "elect_s": round(t_elect - t_host, 4),
+        }
         consumed_set = set(consumed)
         self.surviving = [
             i for r, i in enumerate(self.surviving) if r not in consumed_set
@@ -476,45 +540,90 @@ class BatchAssembler:
         mesh when >1 device is present (parallel/sharded.py; equality with
         the serial ConsensusRef.elect is pinned by tests/test_sharding.py
         and the single- vs multi-device assembly test in tests/test_batch.py).
+
+        Streams are grouped into touched-region CLUSTERS (alignments sit
+        near the two reference boundaries, never uniformly over the
+        contig) so the elect tensors and the device->host delta fetch
+        scale with the touched span, not the contig length — at Mb contigs
+        a whole-window delta would be a multi-hundred-MB fetch per round.
         """
         import jax
 
         from ..align.screen import ladder_size
-        from ..parallel import jit_elect, make_mesh, sharded_elect
+        from ..parallel import make_mesh
+        from ..parallel.sharded import jit_elect_packed, sharded_elect_packed
 
         ref = self.ref
-        L = post0 - pre0
-        Lp = ladder_size(L, 8192)
-        N = len(pending)
-        E = max(len(ops) for _, ops, _ in pending)
-        Ep = ladder_size(E, 256)
-
         n_dev = len(jax.devices())
-        # multi-device: Np must divide evenly across the dp mesh
-        Np = ladder_size(N, 8 * n_dev) if n_dev > 1 else ladder_size(N, 8)
-        ops_m = np.zeros((Np, Ep), dtype=np.uint8)
-        vals_m = np.zeros((Np, Ep), dtype=np.uint8)
-        start = np.zeros(Np, dtype=np.int32)
-        fwd = np.zeros(Np, dtype=bool)
-        enabled = np.zeros(Np, dtype=bool)
-        for row, (n, ops, vals) in enumerate(pending):
-            ops_m[row, : len(ops)] = ops
-            vals_m[row, : len(vals)] = vals
-            start[row] = ref.beg + int(cands.r_offset[n]) - pre0
-            fwd[row] = bool(cands.forward[n])
-            enabled[row] = True
+        if n_dev > 1 and self._mesh is None:
+            self._mesh = make_mesh()
 
-        if n_dev > 1:
-            if self._mesh is None:
-                self._mesh = make_mesh()
-            delta = sharded_elect(
-                self._mesh, ops_m, vals_m, start, fwd, enabled, Lp
-            )
-        else:
-            delta = jit_elect(Lp)(ops_m, vals_m, start, fwd, enabled)
-        ref.sel[pre0:post0] += np.asarray(delta.sel)[:L]
-        ref.sup[pre0:post0] += np.asarray(delta.sup)[:L]
-        ref.total[pre0:post0] += np.asarray(delta.total)[:L]
+        # touched interval per stream (elect walks from start: forward
+        # ascends, backward descends; INSERTs touch start-1 when forward)
+        starts = np.array(
+            [ref.beg + int(cands.r_offset[n]) - pre0 for n, _, _ in pending],
+            dtype=np.int64,
+        )
+        fwds = np.array([bool(cands.forward[n]) for n, _, _ in pending])
+        nedits = np.array([len(ops) for _, ops, _ in pending], dtype=np.int64)
+        lo_i = np.where(fwds, starts - 1, starts - nedits)
+        hi_i = np.where(fwds, starts + nedits, starts + 1)  # exclusive-ish
+
+        # greedy interval clustering (sorted by lo, gap <= 4096 merges),
+        # then merge smallest gaps until at most 4 clusters remain
+        order = np.argsort(lo_i, kind="stable")
+        clusters: list[list[int]] = []
+        bounds: list[list[int]] = []
+        for idx in order.tolist():
+            if clusters and lo_i[idx] <= bounds[-1][1] + 4096:
+                clusters[-1].append(idx)
+                bounds[-1][1] = max(bounds[-1][1], int(hi_i[idx]))
+            else:
+                clusters.append([idx])
+                bounds.append([int(lo_i[idx]), int(hi_i[idx])])
+        while len(clusters) > 4:
+            gaps = [
+                bounds[k + 1][0] - bounds[k][1] for k in range(len(clusters) - 1)
+            ]
+            k = int(np.argmin(gaps))
+            clusters[k] += clusters.pop(k + 1)
+            b = bounds.pop(k + 1)
+            bounds[k][1] = max(bounds[k][1], b[1])
+
+        L = post0 - pre0
+        for members, (clo, chi) in zip(clusters, bounds):
+            base = max(0, clo)
+            span = min(chi, L) - base + 1
+            Lc = ladder_size(span, 8192)
+            N = len(members)
+            E = max(nedits[m] for m in members)
+            Ep = ladder_size(int(E), 256)
+            Np = ladder_size(N, 8 * n_dev) if n_dev > 1 else ladder_size(N, 8)
+            ops_m = np.zeros((Np, Ep), dtype=np.uint8)
+            vals_m = np.zeros((Np, Ep), dtype=np.uint8)
+            start = np.zeros(Np, dtype=np.int32)
+            fwd = np.zeros(Np, dtype=bool)
+            enabled = np.zeros(Np, dtype=bool)
+            for row, m in enumerate(members):
+                _, ops, vals = pending[m]
+                ops_m[row, : len(ops)] = ops
+                vals_m[row, : len(vals)] = vals
+                start[row] = starts[m] - base
+                fwd[row] = fwds[m]
+                enabled[row] = True
+
+            if n_dev > 1:
+                packed = sharded_elect_packed(
+                    self._mesh, ops_m, vals_m, start, fwd, enabled, Lc
+                )
+            else:
+                packed = jit_elect_packed(Lc)(ops_m, vals_m, start, fwd, enabled)
+            packed = np.asarray(packed)
+            w = min(span, L - base)
+            o = pre0 + base
+            ref.sel[o : o + w] += packed[:w, 0:4]
+            ref.sup[o : o + w] += packed[:w, 4:8]
+            ref.total[o : o + w] += packed[:w, 8]
         ref.version += 1
 
     def _traceback_batch(self, cands, idxs, seg_len, ref_len):
@@ -522,7 +631,7 @@ class BatchAssembler:
         {candidate index: (ops, vals, matlen_a, matlen_b)} for those whose
         traceback accepted (it reruns the identical DP, so it always agrees
         with screening; the dict-miss fallback is the host path)."""
-        from ..align.screen import ladder_size, pad_batch
+        from ..align.screen import pad_batch
         from ..align.traceback import batch_align_traceback
 
         cfg = self.cfg
@@ -531,26 +640,40 @@ class BatchAssembler:
         CHUNK = 32
         for lo in range(0, len(idxs), CHUNK):
             part = idxs[lo : lo + CHUNK]
-            a_mat, la, b_mat, lb = self._materialize(
-                cands, part, seg_len, ref_len, LB, LA
-            )
-            # pad the last chunk to CHUNK so the jitted traceback sees one
-            # static batch shape per size bucket (no per-round recompiles);
             # bound the scanned rows by this chunk's real max length (the
-            # scan's per-step overhead dominates the pass), laddered so the
-            # bound itself only takes a few distinct values
-            (a_mat, b_mat), la, lb, _ = pad_batch([a_mat, b_mat], la, lb, CHUNK)
-            rows = min(LA, ladder_size(int(la.max()), 512))
-            res = batch_align_traceback(
-                a_mat, la, b_mat, lb, la_max=LA, w_max=W, ratio=cfg.ratio,
-                rows_max=rows,
-            )
-            acc = np.asarray(res.scores.accept)
-            ma = np.asarray(res.scores.matlen_a)
-            mb = np.asarray(res.scores.matlen_b)
-            ops = np.asarray(res.ops)
-            vals = np.asarray(res.vals)
-            ne = np.asarray(res.nedit)
+            # scan's per-step overhead dominates the pass), rounded to a
+            # multiple of 512 so the bound takes at most LA/512 values;
+            # computable host-side (len_a <= la = min(ref_len, LA) always)
+            la_bound = int(np.minimum(ref_len[part], LA).max())
+            rows = min(LA, -(-la_bound // 512) * 512)
+            # materialize the chunk on device (same gather path as
+            # screening); pad the last chunk to CHUNK so the jitted
+            # traceback sees one static batch shape per size bucket
+            if self._fusable(len(part)):
+                vecs = self._device_vectors(cands, part, ref_len, LA, CHUNK)
+                scal, ov = self._builder().traceback(
+                    self.ref, *vecs, LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
+                    rows_max=rows,
+                )
+                acc, ma, mb, ne = (scal[:, k] for k in range(4))
+                acc = acc != 0
+                E = ov.shape[1] // 2
+                ops, vals = ov[:, :E], ov[:, E:]
+            else:
+                a_mat, la, b_mat, lb = self._materialize(
+                    cands, part, seg_len, ref_len, LB, LA
+                )
+                (a_mat, b_mat), la, lb, _ = pad_batch([a_mat, b_mat], la, lb, CHUNK)
+                res = batch_align_traceback(
+                    a_mat, la, b_mat, lb, la_max=LA, w_max=W, ratio=cfg.ratio,
+                    rows_max=rows,
+                )
+                acc = np.asarray(res.scores.accept)
+                ma = np.asarray(res.scores.matlen_a)
+                mb = np.asarray(res.scores.matlen_b)
+                ops = np.asarray(res.ops)
+                vals = np.asarray(res.vals)
+                ne = np.asarray(res.nedit)
             for bi, n in enumerate(part):
                 if acc[bi] and ma[bi] >= cfg.overlap_min:
                     out[n] = (
@@ -594,6 +717,7 @@ class BatchAssembler:
             "screen_s": round(t3 - t2, 4),
             "commit_s": round(t4 - t3, 4),
             "evolve_s": round(t5 - t4, 4),
+            **getattr(self, "commit_phase_s", {}),
         }
 
         stats = RoundStats(

@@ -33,8 +33,7 @@ import numpy as np
 from ..align.screen import ladder_size
 
 
-@functools.partial(jax.jit, static_argnames=("LA", "LB"))
-def _materialize_on_device(
+def _gather_batch(
     ref_win: jax.Array,    # (Lr_pad,) uint8 reference window [pre, post), padded
     reads_mat: jax.Array,  # (N, Lmax) uint8 read codes, row i = read i
     read_len: jax.Array,   # (N,) int32
@@ -67,6 +66,69 @@ def _materialize_on_device(
     a = jnp.where(valid_a, ref_win[jnp.clip(aidx, 0, Lr - 1)], jnp.uint8(0))
 
     return a, la.astype(jnp.int32), b, lb
+
+
+_materialize_on_device = jax.jit(_gather_batch, static_argnames=("LA", "LB"))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("LA", "LB", "w_max", "ratio", "backend")
+)
+def _mat_score(
+    ref_win, reads_mat, read_len, read_row, j, fwd, prel, la,
+    *, LA, LB, w_max, ratio, backend,
+):
+    """Fused materialize + score: ONE device dispatch and ONE packed
+    (B, 3) int32 fetch [accept, matlen_a, dp_rows] per screening launch —
+    on a high-latency link (the axon tunnel's 30-300 ms per call) the
+    round-trip count, not the DP, bounds the steady-state round."""
+    a, la2, b, lb = _gather_batch(
+        ref_win, reads_mat, read_len, read_row, j, fwd, prel, la, LA, LB
+    )
+    if backend == "bitpallas":
+        from ..align.bitwave import batch_score_bitpallas
+
+        res = batch_score_bitpallas(a, la2, b, lb, la_max=LA, w_max=w_max, ratio=ratio)
+    elif backend == "pallas":
+        from ..align.wavefront import batch_score_pallas
+
+        res = batch_score_pallas(a, la2, b, lb, la_max=LA, w_max=w_max, ratio=ratio)
+    else:
+        from ..align.scan import batch_score
+
+        res = batch_score(a, la2, b, lb, la_max=LA, w_max=w_max, ratio=ratio)
+    return jnp.stack(
+        [res.accept.astype(jnp.int32), res.matlen_a, res.dp_rows], axis=1
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("LA", "LB", "w_max", "ratio", "rows_max")
+)
+def _mat_traceback(
+    ref_win, reads_mat, read_len, read_row, j, fwd, prel, la,
+    *, LA, LB, w_max, ratio, rows_max,
+):
+    """Fused materialize + align-with-traceback: one dispatch, two fetches
+    (scalars packed (B, 4) int32; ops|vals packed (B, 2E) uint8)."""
+    from ..align.traceback import batch_align_traceback
+
+    a, la2, b, lb = _gather_batch(
+        ref_win, reads_mat, read_len, read_row, j, fwd, prel, la, LA, LB
+    )
+    res = batch_align_traceback(
+        a, la2, b, lb, la_max=LA, w_max=w_max, ratio=ratio, rows_max=rows_max
+    )
+    scal = jnp.stack(
+        [
+            res.scores.accept.astype(jnp.int32),
+            res.scores.matlen_a,
+            res.scores.matlen_b,
+            res.nedit,
+        ],
+        axis=1,
+    )
+    return scal, jnp.concatenate([res.ops, res.vals], axis=1)
 
 
 class DeviceBatchBuilder:
@@ -123,3 +185,31 @@ class DeviceBatchBuilder:
             LA=LA,
             LB=LB,
         )
+
+    def score(self, ref, read_row, j, fwd, prel, la, *, LA, LB, w_max, ratio, backend):
+        """Fused materialize+score; returns host (B, 3) int32
+        [accept, matlen_a, dp_rows] — one dispatch, one fetch."""
+        packed = _mat_score(
+            self.window(ref), self.reads_mat, self.read_len,
+            jnp.asarray(read_row, dtype=jnp.int32),
+            jnp.asarray(j, dtype=jnp.int32),
+            jnp.asarray(fwd, dtype=bool),
+            jnp.asarray(prel, dtype=jnp.int32),
+            jnp.asarray(la, dtype=jnp.int32),
+            LA=LA, LB=LB, w_max=w_max, ratio=ratio, backend=backend,
+        )
+        return np.asarray(packed)
+
+    def traceback(self, ref, read_row, j, fwd, prel, la, *, LA, LB, w_max, ratio, rows_max):
+        """Fused materialize+traceback; returns host ((B, 4) int32
+        [accept, matlen_a, matlen_b, nedit], (B, 2E) uint8 ops|vals)."""
+        scal, ov = _mat_traceback(
+            self.window(ref), self.reads_mat, self.read_len,
+            jnp.asarray(read_row, dtype=jnp.int32),
+            jnp.asarray(j, dtype=jnp.int32),
+            jnp.asarray(fwd, dtype=bool),
+            jnp.asarray(prel, dtype=jnp.int32),
+            jnp.asarray(la, dtype=jnp.int32),
+            LA=LA, LB=LB, w_max=w_max, ratio=ratio, rows_max=rows_max,
+        )
+        return np.asarray(scal), np.asarray(ov)

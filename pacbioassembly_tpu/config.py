@@ -89,6 +89,15 @@ class AssemblyConfig:
     # windows/segments on-chip; assemble/gather.py) — falls back to host
     # packing for multi-device sharding or oversized read sets
     device_materialize: bool = True
+    # drop same-diagonal duplicate candidates before screening: trials
+    # (j, r) and (j+k, r+k) of one read probe the SAME overlap, and the
+    # reference only ever *commits* the first success anyway
+    # (spaced_seed.cpp:424-439 stops at the first accepted try) — keeping
+    # one probe per (read, dir, diagonal) cuts screening work 2-10x on
+    # high-coverage boundaries with no effect in practice (the kept probe
+    # is the highest-priority one, which is also the one the reference
+    # would commit)
+    dedupe_diagonals: bool = True
 
     # capacity: max consensus length (reference MAX_SEQ_LEN, common.h:31);
     # unlike the reference's compile-time cap this is a runtime knob, so

@@ -166,6 +166,41 @@ def jit_elect(L: int):
     return jax.jit(functools.partial(device_elect, L=L))
 
 
+def _pack_delta(d: VoteDelta) -> jax.Array:
+    """(L, 9) int32 [sel | sup | total] — one fetch instead of three."""
+    return jnp.concatenate([d.sel, d.sup, d.total[:, None]], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def jit_elect_packed(L: int):
+    """device_elect returning the packed (L, 9) delta (one host fetch)."""
+
+    def fn(ops, vals, start, forward, enabled):
+        return _pack_delta(device_elect(ops, vals, start, forward, enabled, L))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_elect_packed_fn(mesh: Mesh, L: int):
+    def kernel(ops_s, vals_s, start_s, fwd_s, en_s):
+        d = device_elect(ops_s, vals_s, start_s, fwd_s, en_s, L)
+        return jax.lax.psum(_pack_delta(d), "dp")
+
+    fn = shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None), P("dp"), P("dp"), P("dp")),
+        out_specs=P(),
+    )
+    return jax.jit(fn)
+
+
+def sharded_elect_packed(mesh, ops, vals, start, forward, enabled, L):
+    """sharded_elect returning the packed (L, 9) psum-merged delta."""
+    return _sharded_elect_packed_fn(mesh, L)(ops, vals, start, forward, enabled)
+
+
 def assembly_step(
     mesh: Mesh,
     a: jax.Array,
