@@ -42,6 +42,9 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/pbtpu_ecoli")
     ap.add_argument("--backend", default=None,
                     help="override PBTPU_SCREEN_BACKEND")
+    ap.add_argument("--no-dedupe", action="store_true",
+                    help="disable diagonal candidate dedupe")
+    ap.add_argument("--rng-seed", type=int, default=7)
     args = ap.parse_args()
 
     if args.backend:
@@ -86,8 +89,9 @@ def main() -> int:
     cfg = AssemblyConfig(
         engine="batch",
         max_round=args.max_round,
-        rng_seed=7,
+        rng_seed=args.rng_seed,
         pattern_schedule="random",
+        dedupe_diagonals=not args.no_dedupe,
         max_seq_len=args.genome_len + 500_000,
         metrics_path=os.path.join(args.out, "metrics.jsonl"),
         checkpoint_path=os.path.join(args.out, "ck.npz"),

@@ -24,6 +24,7 @@ tensor updates either way. Phase A is what shards across chips
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional, TextIO
 
@@ -39,6 +40,12 @@ from .driver import RoundStats, init_reference
 from .reads import ReadStore
 
 SEED_LEN = Constants.SEED_LEN
+
+# max candidates per screening launch: bounds the launch's HBM working set
+# (the XLA prologue materializes several (B, LA)-scale intermediates — a
+# 32768-row launch at the 4096 bucket OOMs a 16 GB chip) and caps the
+# ladder so shapes stay hot in the compile cache
+SCREEN_CHUNK = 4096
 
 
 class CandidateBatch:
@@ -196,6 +203,9 @@ class BatchAssembler:
         patterns: list[int],
         ref: Optional[ConsensusRef] = None,
         dump: Optional[TextIO] = None,
+        surviving: Optional[list[int]] = None,
+        trial_cache: Optional[TrialSeedCache] = None,
+        device_builder=None,
     ):
         if not patterns:
             raise ValueError("no seed patterns")
@@ -203,17 +213,24 @@ class BatchAssembler:
         self.reads = reads
         self.patterns = patterns
         self.rng = np.random.default_rng(cfg.rng_seed)
-        self.ref = ref if ref is not None else init_reference(cfg, reads, self.rng)
+        self.surviving = (
+            list(range(len(reads))) if surviving is None else list(surviving)
+        )
+        if ref is not None:
+            self.ref = ref
+        else:
+            self.ref = init_reference(cfg, reads, self.rng, candidates=self.surviving)
         self.dump = dump
-        self.surviving = list(range(len(reads)))
         self.nfailure = 0
         self.nround = 0
         self.dp_cells_total = 0
         self.history: list[RoundStats] = []
         self._aligner = partial(exact_align, ratio=cfg.ratio)
         self._mesh = None
-        self._trial_cache = TrialSeedCache(reads, cfg)
-        self._device_builder = None  # lazy (assemble/gather.py)
+        # the trial-seed cache and the device read matrix depend only on
+        # the read set — multi-contig runs share them across assemblers
+        self._trial_cache = trial_cache or TrialSeedCache(reads, cfg)
+        self._device_builder = device_builder  # lazy (assemble/gather.py)
 
     def _pick_pattern(self) -> int:
         if self.nfailure != 0:
@@ -387,47 +404,51 @@ class BatchAssembler:
         # kernel's sublane-wide early exit makes the padding nearly free for
         # shorter, length-sorted groups
         LB, LA, W = size_bucket(int(seg_len.max()), cfg.ratio)
-        # sort by segment length (desc) so early-exit groups finish together
-        idxs = np.argsort(-seg_len, kind="stable")
-        if self._fusable(len(idxs)):
-            # fused single-dispatch path: materialize+score in ONE jitted
-            # call, ONE packed fetch (round-trip count bounds round time on
-            # remote links)
-            from ..align.screen import ladder_size, screening_backend
+        # sort by segment length (desc) so early-exit groups finish
+        # together, then screen in bounded launches (SCREEN_CHUNK)
+        idxs_all = np.argsort(-seg_len, kind="stable")
+        fusable = self._fusable(len(idxs_all))
+        for lo in range(0, len(idxs_all), SCREEN_CHUNK):
+            idxs = idxs_all[lo : lo + SCREEN_CHUNK]
+            if fusable:
+                # fused single-dispatch path: materialize+score in ONE
+                # jitted call, ONE packed fetch (round-trip count bounds
+                # round time on remote links)
+                from ..align.screen import ladder_size, screening_backend
 
-            vecs = self._device_vectors(
-                cands, idxs, ref_len, LA, ladder_size(len(idxs))
-            )
-            packed = self._builder().score(
-                self.ref, *vecs, LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
-                backend=screening_backend(),
-            )
-            acc = packed[:, 0] != 0
-            ma = packed[:, 1]
-            rows_all = packed[:, 2]
-        else:
-            dev = self._device_batch(cands, idxs, ref_len, LB, LA)
-            if dev is not None:
-                a_mat, la, b_mat, lb = dev
-            else:
-                a_mat, la, b_mat, lb = self._materialize(
-                    cands, idxs, seg_len, ref_len, LB, LA
+                vecs = self._device_vectors(
+                    cands, idxs, ref_len, LA, ladder_size(len(idxs))
                 )
-            res = self._score(a_mat, la, b_mat, lb, LA, W)
-            acc = np.asarray(res.accept)
-            ma = np.asarray(res.matlen_a)
-            rows_all = np.asarray(res.dp_rows)
-        ok = acc & (ma >= cfg.overlap_min)
-        accept[idxs] = ok[: len(idxs)]
-        # per-pair reference-equivalent cells: rows x (2*max_dst + 1) with
-        # the pair's own band (not the bucket's W) so the count is
-        # comparable with the exact engine and bench.py (seq_aligner.h:
-        # 151-190; md from the clamped lengths the kernel actually used)
-        rows = rows_all[: len(idxs)].astype(np.int64)
-        la_used = np.minimum(ref_len[idxs], LA).astype(np.float64)
-        lb_used = seg_len[idxs].astype(np.float64)
-        md = 1 + np.floor(np.minimum(la_used, lb_used) * cfg.ratio).astype(np.int64)
-        self.dp_cells_total += int((rows * (2 * md + 1)).sum())
+                packed = self._builder().score(
+                    self.ref, *vecs, LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
+                    backend=screening_backend(),
+                )
+                acc = packed[:, 0] != 0
+                ma = packed[:, 1]
+                rows_all = packed[:, 2]
+            else:
+                dev = self._device_batch(cands, idxs, ref_len, LB, LA)
+                if dev is not None:
+                    a_mat, la, b_mat, lb = dev
+                else:
+                    a_mat, la, b_mat, lb = self._materialize(
+                        cands, idxs, seg_len, ref_len, LB, LA
+                    )
+                res = self._score(a_mat, la, b_mat, lb, LA, W)
+                acc = np.asarray(res.accept)
+                ma = np.asarray(res.matlen_a)
+                rows_all = np.asarray(res.dp_rows)
+            ok = acc & (ma >= cfg.overlap_min)
+            accept[idxs] = ok[: len(idxs)]
+            # per-pair reference-equivalent cells: rows x (2*max_dst + 1)
+            # with the pair's own band (not the bucket's W) so the count is
+            # comparable with the exact engine and bench.py (seq_aligner.h:
+            # 151-190; md from the clamped lengths the kernel actually used)
+            rows = rows_all[: len(idxs)].astype(np.int64)
+            la_used = np.minimum(ref_len[idxs], LA).astype(np.float64)
+            lb_used = seg_len[idxs].astype(np.float64)
+            md = 1 + np.floor(np.minimum(la_used, lb_used) * cfg.ratio).astype(np.int64)
+            self.dp_cells_total += int((rows * (2 * md + 1)).sum())
         return accept
 
     # ------------------------------------------------------------ phase B
@@ -783,3 +804,74 @@ class BatchAssembler:
         if metrics:
             metrics.close()
         return self.ref
+
+
+@dataclasses.dataclass
+class ContigResult:
+    codes: np.ndarray      # final consensus codes
+    nreads: int            # reads consumed into this contig
+    nrounds: int           # rounds run
+
+
+def assemble_contigs(
+    cfg: AssemblyConfig,
+    reads: ReadStore,
+    patterns: list[int],
+    n_contigs: int,
+    log: Optional[TextIO] = None,
+) -> tuple[list[ContigResult], list[int]]:
+    """Multi-contig assembly: run the batch engine to termination, then
+    RESTART on the surviving reads with a fresh random initial read, until
+    n_contigs are produced or no reads remain.
+
+    The reference builds one contig per process and relies on manually
+    re-running with `-f` to continue (README.mkd:52-63, doc/final.tex:
+    245-249 "restart from a saved sequence"); this automates that
+    workflow. The trial-seed cache and the device-resident read matrix are
+    shared across restarts (they depend only on the read set). Returns
+    (contigs, surviving_read_rows)."""
+    contigs: list[ContigResult] = []
+    surviving: Optional[list[int]] = None
+    cache = None
+    builder = None
+    for ci in range(n_contigs):
+        c = dataclasses.replace(
+            cfg,
+            rng_seed=None if cfg.rng_seed is None else cfg.rng_seed + ci,
+            # -f seeds only the first contig; restarts pick a random
+            # surviving read (init, spaced_seed.cpp:205-210)
+            initial_ref_path=cfg.initial_ref_path if ci == 0 else None,
+            checkpoint_path=None,
+            resume_path=None if ci else cfg.resume_path,
+        )
+        asm = BatchAssembler(
+            c, reads, patterns,
+            surviving=surviving,
+            trial_cache=cache,
+            device_builder=builder,
+        )
+        if not asm.surviving:
+            break
+        before = len(asm.surviving)
+        asm.run(out=None, log=log)
+        contigs.append(
+            ContigResult(
+                codes=asm.ref.text().copy(),
+                nreads=before - len(asm.surviving),
+                nrounds=asm.nround,
+            )
+        )
+        if log:
+            log.write(
+                f"=== contig {ci}: {len(contigs[-1].codes)} bp from "
+                f"{contigs[-1].nreads} reads in {asm.nround} rounds; "
+                f"{len(asm.surviving)} reads left\n"
+            )
+        surviving = asm.surviving
+        cache = asm._trial_cache
+        builder = asm._device_builder
+        # free the big consensus tensors before the next restart
+        del asm
+        if not surviving:
+            break
+    return contigs, surviving if surviving is not None else list(range(len(reads)))

@@ -48,9 +48,11 @@ def init_reference(
     cfg: AssemblyConfig,
     reads: ReadStore,
     rng: np.random.Generator,
+    candidates: list[int] | None = None,
 ) -> ConsensusRef:
     """Initial reference: from -f file (line1 sequence, line2 weight) or a
-    random read (init, spaced_seed.cpp:188-230)."""
+    random read (init, spaced_seed.cpp:188-230). `candidates` restricts
+    the random pick (multi-contig restarts pick from surviving reads)."""
     if cfg.initial_ref_path:
         with open(cfg.initial_ref_path) as fh:
             line = fh.readline()
@@ -69,7 +71,10 @@ def init_reference(
             overlap_min=cfg.overlap_min,
             vote_ratio=cfg.vote_ratio,
         )
-    i = int(rng.integers(0, len(reads)))
+    if candidates is not None and len(candidates) < len(reads):
+        i = int(candidates[int(rng.integers(0, len(candidates)))])
+    else:
+        i = int(rng.integers(0, len(reads)))
     return ConsensusRef(
         reads.codes(i).copy(),
         locked=cfg.locked,

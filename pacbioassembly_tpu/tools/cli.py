@@ -70,6 +70,26 @@ def cmd_assemble(args) -> int:
     )
     reads = ReadStore.from_file(args.bin, cfg)
     patterns = load_patterns(args.seedfile)
+    if getattr(args, "contigs", 1) > 1:
+        if cfg.engine != "batch":
+            print("--contigs requires --engine batch", file=sys.stderr)
+            return 1
+        from ..codec import dna
+        from ..assemble.batch import assemble_contigs
+
+        contigs, surviving = assemble_contigs(
+            cfg, reads, patterns, args.contigs,
+            log=sys.stderr if not args.quiet else None,
+        )
+        for i, c in enumerate(contigs):
+            print(f">contig_{i} length={len(c.codes)} reads={c.nreads} rounds={c.nrounds}")
+            print(dna.codes_to_text(c.codes))
+        print(
+            f"{len(contigs)} contigs, {len(reads) - len(surviving)} of "
+            f"{len(reads)} reads consumed",
+            file=sys.stderr,
+        )
+        return 0
     dump = open(args.dump, "w") if args.dump else None
     try:
         if cfg.engine == "batch":
@@ -238,6 +258,11 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--resume", default=None)
     p.add_argument("--metrics", default=None)
+    p.add_argument(
+        "--contigs", type=int, default=1,
+        help="multi-contig mode (batch engine): restart on surviving reads "
+        "until N contigs are built; prints FASTA",
+    )
     p.add_argument("-q", "--quiet", action="store_true")
     p.set_defaults(fn=cmd_assemble)
 

@@ -218,6 +218,56 @@ def test_batch_convergence_on_noisy_data(tmp_path):
     assert sum(s.nmatches for s in asm.history) == n - leftover
 
 
+def test_multi_contig_assembly(tmp_path):
+    """Multi-contig mode: after the first contig terminates, restart on the
+    surviving reads (automates the reference's manual -f restart workflow,
+    README.mkd:52-63). Two disjoint genome segments force two contigs."""
+    from pacbioassembly_tpu.assemble.batch import assemble_contigs
+    from pacbioassembly_tpu.codec import binary_io
+    from pacbioassembly_tpu.tools.simulate import SimConfig, simulate
+
+    rng = np.random.default_rng(3)
+    segs = [rng.integers(0, 4, 8000).astype(np.uint8) for _ in range(2)]
+    read_list = []
+    for g in segs:
+        _, rl, _ = simulate(
+            SimConfig(
+                genome_len=len(g), coverage=10.0, mean_read_len=700,
+                min_read_len=600, max_read_len=900,
+                sub_rate=0.01, ins_rate=0.01, del_rate=0.01, seed=5,
+            ),
+            genome=g,
+        )
+        read_list += rl
+    binfile = tmp_path / "two.bin"
+    with open(binfile, "wb") as fh:
+        binary_io.write_records(fh, read_list)
+
+    cfg = AssemblyConfig(
+        engine="batch", rng_seed=1, pattern_schedule="roundrobin", max_round=40
+    )
+    reads = ReadStore.from_file(str(binfile), cfg)
+    patterns = load_patterns(data("seeds.txt"))
+    contigs, surviving = assemble_contigs(cfg, reads, patterns, 4)
+
+    assert len(contigs) >= 2
+    big = [c for c in contigs if len(c.codes) > 6000]
+    assert len(big) >= 2, [len(c.codes) for c in contigs]
+    # the two large contigs must come from DIFFERENT genome segments
+    km = [set(dna.sliding_seeds(g).tolist()) for g in segs]
+    owners = []
+    for c in big[:2]:
+        ck = dna.sliding_seeds(c.codes)
+        shares = [np.mean([k in km_i for k in ck.tolist()]) for km_i in km]
+        owners.append(int(np.argmax(shares)))
+        assert max(shares) > 0.6
+    assert set(owners) == {0, 1}
+    # restarts consume strictly more reads than a single run
+    total = sum(c.nreads for c in contigs)
+    assert total > contigs[0].nreads
+    assert total == len(reads) - len(surviving)
+
+
 def test_readstore_mmap_equivalent():
     cfg = AssemblyConfig()
     r1 = ReadStore.from_file(data("synth_reads.bin"), cfg, mmap=False)
