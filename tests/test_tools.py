@@ -122,3 +122,22 @@ def test_metrics_jsonl(tmp_path):
     assert recs[0]["event"] == "round"
     assert recs[0]["nmatches"] == 45
     assert "dp_cells_per_s" in recs[0]
+
+
+def test_multi_contig_cli(tmp_path, capsys):
+    """--contigs N prints FASTA with per-contig stats."""
+    from pacbioassembly_tpu.tools import cli
+
+    cli.main([
+        "assemble", os.path.join(DATA, "synth_reads.bin"),
+        os.path.join(DATA, "oneseed_spaced.txt"),
+        "-f", os.path.join(DATA, "synth_init.txt"),
+        "--engine", "batch", "--schedule", "roundrobin",
+        "--quirk-seed-at", "--quirk-init-newline",
+        "-m", "30", "--contigs", "2", "-q",
+    ])
+    out = capsys.readouterr().out
+    headers = [ln for ln in out.splitlines() if ln.startswith(">contig_")]
+    assert headers and headers[0].startswith(">contig_0 length=")
+    seq = out.splitlines()[1]
+    assert len(seq) > 1000 and set(seq) <= set("ACGT")
