@@ -44,6 +44,8 @@ def main() -> int:
                     help="override PBTPU_SCREEN_BACKEND")
     ap.add_argument("--no-dedupe", action="store_true",
                     help="disable diagonal candidate dedupe")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from <out>/ck.npz")
     ap.add_argument("--rng-seed", type=int, default=7)
     args = ap.parse_args()
 
@@ -95,7 +97,8 @@ def main() -> int:
         max_seq_len=args.genome_len + 500_000,
         metrics_path=os.path.join(args.out, "metrics.jsonl"),
         checkpoint_path=os.path.join(args.out, "ck.npz"),
-        checkpoint_every=200,
+        checkpoint_every=50,
+        resume_path=os.path.join(args.out, "ck.npz") if args.resume else None,
     )
     t0 = time.time()
     reads = ReadStore.from_file(bin_path, cfg)
