@@ -46,6 +46,9 @@ def main() -> int:
                     help="disable diagonal candidate dedupe")
     ap.add_argument("--resume", action="store_true",
                     help="resume from <out>/ck.npz")
+    ap.add_argument("--edge-retreat", type=int, default=0,
+                    help="stall-recovery budget (trim single-read edge "
+                         "fringe and keep going instead of terminating)")
     ap.add_argument("--rng-seed", type=int, default=7)
     args = ap.parse_args()
 
@@ -94,6 +97,7 @@ def main() -> int:
         rng_seed=args.rng_seed,
         pattern_schedule="random",
         dedupe_diagonals=not args.no_dedupe,
+        edge_retreat=args.edge_retreat,
         max_seq_len=args.genome_len + 500_000,
         metrics_path=os.path.join(args.out, "metrics.jsonl"),
         checkpoint_path=os.path.join(args.out, "ck.npz"),
@@ -124,6 +128,7 @@ def main() -> int:
         "n_reads": len(reads),
         "reads_consumed": consumed,
         "rounds": asm.nround,
+        "retreats": asm.retreats,
         "contig_len": asm.ref.length(),
         "wall_s": round(wall, 1),
         "setup_s": round(setup_s, 1),

@@ -47,6 +47,10 @@ SEED_LEN = Constants.SEED_LEN
 # ladder so shapes stay hot in the compile cache
 SCREEN_CHUNK = 4096
 
+# max candidates per prefilter launch (tiny LB=prefilter_len shapes, so the
+# working set stays far below the full-screen chunk's)
+PREFILTER_CHUNK = 16384
+
 
 class CandidateBatch:
     """Structure-of-arrays candidate set — one row per (read, trial,
@@ -223,6 +227,7 @@ class BatchAssembler:
         self.dump = dump
         self.nfailure = 0
         self.nround = 0
+        self.retreats = 0
         self.dp_cells_total = 0
         self.history: list[RoundStats] = []
         self._aligner = partial(exact_align, ratio=cfg.ratio)
@@ -387,6 +392,43 @@ class BatchAssembler:
         vecs = self._device_vectors(cands, idxs, ref_len, LA, Bp)
         return builder.materialize(self.ref, *vecs, LA, LB)
 
+    def _prefilter(self, cands: CandidateBatch, ref_len: np.ndarray) -> np.ndarray:
+        """Cheap device pass: banded DP over only the first
+        cfg.prefilter_len bases of each candidate at the looser
+        cfg.prefilter_ratio (see AssemblyConfig.prefilter_len for the
+        cost-rate separation data). Returns a bool keep mask; candidates
+        it rejects are treated as failed trials. The reference full-DPs
+        every bucket candidate (spaced_seed.cpp:282-296) — at its data
+        scale almost all of them are random 16-mer collisions, which is
+        exactly what this pass discards at ~1/40 of the cell count."""
+        cfg = self.cfg
+        from ..align.screen import ladder_size, screening_backend
+
+        LBp = cfg.prefilter_len
+        # band sized by the PREFILTER ratio: the kernel derives its goal
+        # cells from the scoring ratio, so a narrower band would put them
+        # outside the stored stripe and reject everything
+        Wp = 1 + int(LBp * cfg.prefilter_ratio)
+        LAp = LBp + Wp + 1
+        keep = np.zeros(len(cands), dtype=bool)
+        builder = self._builder()
+        backend = screening_backend()
+        all_idx = np.arange(len(cands))
+        for lo in range(0, len(cands), PREFILTER_CHUNK):
+            idxs = all_idx[lo : lo + PREFILTER_CHUNK]
+            vecs = self._device_vectors(
+                cands, idxs, ref_len, LAp, ladder_size(len(idxs))
+            )
+            packed = builder.score(
+                self.ref, *vecs, LA=LAp, LB=LBp, w_max=Wp,
+                ratio=cfg.prefilter_ratio, backend=backend,
+            )
+            keep[idxs] = packed[: len(idxs), 0] != 0
+            rows = packed[: len(idxs), 2].astype(np.int64)
+            md = 1 + int(LBp * cfg.prefilter_ratio)
+            self.dp_cells_total += int((rows * (2 * md + 1)).sum())
+        return keep
+
     def screen(self, cands: CandidateBatch) -> np.ndarray:
         """Device-score all candidates vs the round-start reference.
         Returns a bool accept vector aligned with `cands`."""
@@ -408,6 +450,15 @@ class BatchAssembler:
         # together, then screen in bounded launches (SCREEN_CHUNK)
         idxs_all = np.argsort(-seg_len, kind="stable")
         fusable = self._fusable(len(idxs_all))
+        self.prefilter_kept = -1  # -1 = pass not run
+        if (
+            cfg.prefilter_len
+            and fusable
+            and len(idxs_all) >= cfg.prefilter_min_batch
+        ):
+            keep = self._prefilter(cands, ref_len)
+            idxs_all = idxs_all[keep[idxs_all]]
+            self.prefilter_kept = int(keep.sum())
         for lo in range(0, len(idxs_all), SCREEN_CHUNK):
             idxs = idxs_all[lo : lo + SCREEN_CHUNK]
             if fusable:
@@ -738,6 +789,8 @@ class BatchAssembler:
             "screen_s": round(t3 - t2, 4),
             "commit_s": round(t4 - t3, 4),
             "evolve_s": round(t5 - t4, 4),
+            "retreats": self.retreats,
+            "prefilter_kept": getattr(self, "prefilter_kept", -1),
             **getattr(self, "commit_phase_s", {}),
         }
 
@@ -793,7 +846,24 @@ class BatchAssembler:
 
                 save_checkpoint(cfg.checkpoint_path, self)
             if self.nfailure >= len(self.patterns):
-                break
+                # every pattern failed in a row — the reference terminates
+                # here; with edge_retreat budget left, resample the stalled
+                # edge instead (see AssemblyConfig.edge_retreat)
+                trimmed = 0
+                if self.retreats < cfg.edge_retreat:
+                    trimmed = self.ref.retreat_edges(
+                        cfg.edge_retreat_min_total,
+                        keep_min=cfg.overlap_min,
+                    )
+                if trimmed == 0:
+                    break
+                self.retreats += 1
+                self.nfailure = 0
+                if log:
+                    log.write(
+                        f"--- edge retreat {self.retreats}: trimmed {trimmed} "
+                        f"low-support cells, ref_len={self.ref.length()}\n"
+                    )
             if out:
                 out.write(dna.codes_to_text(self.ref.text()) + "\n")
         if cfg.checkpoint_path:

@@ -25,6 +25,7 @@ def save_checkpoint(path: str, asm) -> None:
         "version": FORMAT_VERSION,
         "nround": asm.nround,
         "nfailure": asm.nfailure,
+        "retreats": getattr(asm, "retreats", 0),
         "engine": type(asm).__name__,
         "beg": state["beg"],
         "end": state["end"],
@@ -67,4 +68,6 @@ def load_checkpoint(path: str, asm) -> None:
         asm.surviving = [int(x) for x in z["surviving"]]
         asm.nround = int(meta["nround"])
         asm.nfailure = int(meta["nfailure"])
+        if hasattr(asm, "retreats"):
+            asm.retreats = int(meta.get("retreats", 0))
         asm.rng.bit_generator.state = json.loads(str(z["rng"]))

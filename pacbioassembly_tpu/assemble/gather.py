@@ -49,7 +49,11 @@ def _gather_batch(
     Lm = reads_mat.shape[1]
 
     slen = read_len[read_row]
-    lb = (slen - j).astype(jnp.int32)
+    # clamp to the bucket: a no-op on full screening/traceback batches
+    # (the caller's size bucket covers every real segment), but it lets the
+    # prefilter pass (assemble/batch.py) score just the first LB bases of a
+    # long segment as a genuine truncated alignment
+    lb = jnp.minimum(slen - j, LB).astype(jnp.int32)
 
     t = jnp.arange(LB, dtype=jnp.int32)[None, :]
     bidx = jnp.where(fwd[:, None], j[:, None] + t, slen[:, None] - 1 - j[:, None] - t)

@@ -99,6 +99,28 @@ class AssemblyConfig:
     # would commit)
     dedupe_diagonals: bool = True
 
+    # screening prefilter: score only the first prefilter_len bases of each
+    # candidate at the looser prefilter_ratio and full-screen just the
+    # survivors. At E. coli scale nearly every candidate is a random
+    # spaced-seed collision; the full-band DP on those dominates the round.
+    # Empirics (window 128, banded DP cost/base): true overlaps even in the
+    # worst 15%-read-vs-15%-edge case stay <= 0.42 (p99 0.37) while random
+    # pairs stay >= 0.48, so 0.45 separates cleanly. Applies only to
+    # device-fused rounds with >= prefilter_min_batch candidates (small
+    # runs, tests, and host-path rounds never prefilter); prefilter_len=0
+    # disables entirely.
+    prefilter_len: int = 128
+    prefilter_ratio: float = 0.45
+    prefilter_min_batch: int = 8192
+
+    # stall recovery (extension beyond the reference, which terminates as
+    # soon as every pattern fails in a row — spaced_seed.cpp:441-447): up
+    # to edge_retreat times, trim the single-read consensus fringe
+    # (ConsensusRef.retreat_edges) and keep assembling so a different read
+    # can re-extend the edge with fresh errors. 0 = reference behavior.
+    edge_retreat: int = 0
+    edge_retreat_min_total: int = 2
+
     # capacity: max consensus length (reference MAX_SEQ_LEN, common.h:31);
     # unlike the reference's compile-time cap this is a runtime knob, so
     # E. coli-scale genomes just pass a bigger value

@@ -248,6 +248,38 @@ class ConsensusRef:
         self.pre = self.beg = o
         self.end = self.post = o + newL
 
+    def retreat_edges(self, min_total: int = 2, keep_min: int = 64) -> int:
+        """Trim the weakly-supported fringe (cells with total < min_total)
+        off both ends of the consensus and return the number of cells cut.
+
+        Stall recovery beyond the reference: when every pattern fails
+        (spaced_seed.cpp:441-447 just terminates there), the blocker at
+        high error rates is the outermost ~read-length of consensus, which
+        carries a single read's votes (total == 1) and therefore that
+        read's full error rate — new reads must beat ~2x the per-read
+        error to align across it. Cutting the fringe back to multi-read
+        support lets a different read re-extend with fresh errors. No-op
+        when locked, when there is no strong interior, or when the strong
+        interior is shorter than keep_min."""
+        if self.locked:
+            return 0
+        lo, hi = min(self.pre, self.beg), max(self.post, self.end)
+        if hi <= lo:
+            return 0
+        weak = self.total[lo:hi] < min_total
+        if weak.all():
+            return 0
+        kl = int(np.argmin(weak))          # leading weak run
+        kr = int(np.argmin(weak[::-1]))    # trailing weak run
+        if kl == 0 and kr == 0:
+            return 0
+        if (hi - kr) - (lo + kl) < keep_min:
+            return 0
+        self.pre = self.beg = lo + kl
+        self.end = self.post = hi - kr
+        self.version += 1
+        return kl + kr
+
     # ------------------------------------------------------------------ misc
 
     def state_dict(self) -> dict:

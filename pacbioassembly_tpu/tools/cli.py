@@ -67,6 +67,7 @@ def cmd_assemble(args) -> int:
         checkpoint_every=args.checkpoint_every,
         resume_path=args.resume,
         metrics_path=args.metrics,
+        edge_retreat=getattr(args, "edge_retreat", 0),
     )
     reads = ReadStore.from_file(args.bin, cfg)
     patterns = load_patterns(args.seedfile)
@@ -258,6 +259,12 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--resume", default=None)
     p.add_argument("--metrics", default=None)
+    p.add_argument(
+        "--edge-retreat", type=int, default=0,
+        help="batch engine: up to N times, recover from an all-patterns"
+        "-failed stall by trimming the single-read edge fringe instead of"
+        " terminating (0 = reference behavior)",
+    )
     p.add_argument(
         "--contigs", type=int, default=1,
         help="multi-contig mode (batch engine): restart on surviving reads "

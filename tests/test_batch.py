@@ -324,3 +324,177 @@ def test_device_materialize_equivalent(monkeypatch):
     np.testing.assert_array_equal(lb_d[:B0], lb_h)
     # ladder pad rows must be cheap rejects
     assert (la_d[B0:] == 1).all() and (lb_d[B0:] == 1).all()
+
+
+def test_retreat_edges_unit():
+    """ConsensusRef.retreat_edges trims exactly the weak (total < min_total)
+    runs at both ends, refuses to trim below keep_min, and no-ops on locked
+    or all-weak references."""
+    from pacbioassembly_tpu.consensus import ConsensusRef
+
+    codes = np.arange(100, dtype=np.uint8) % 4
+    ref = ConsensusRef(codes, capacity=3000)
+    # fresh reference: total == 1 everywhere -> all-weak, must no-op
+    assert ref.retreat_edges(min_total=2) == 0
+    assert ref.length() == 100
+
+    # strong interior [10, 90): 10 weak cells on each side
+    ref.total[ref.beg + 10 : ref.beg + 90] = 3
+    v0 = ref.version
+    assert ref.retreat_edges(min_total=2) == 20
+    assert ref.length() == 80
+    assert ref.beg == ref.pre and ref.end == ref.post
+    assert ref.version == v0 + 1
+    np.testing.assert_array_equal(ref.text(), codes[10:90])
+    # nothing weak left at the edges -> no-op
+    assert ref.retreat_edges(min_total=2) == 0
+
+    # keep_min guard: strong interior shorter than keep_min -> no-op
+    ref2 = ConsensusRef(codes, capacity=3000)
+    ref2.total[ref2.beg + 40 : ref2.beg + 60] = 3
+    assert ref2.retreat_edges(min_total=2, keep_min=64) == 0
+    assert ref2.length() == 100
+
+    # locked -> no-op
+    ref3 = ConsensusRef(codes, locked=True, capacity=3000)
+    ref3.total[ref3.beg + 10 : ref3.beg + 90] = 3
+    assert ref3.retreat_edges(min_total=2) == 0
+
+
+def test_edge_retreat_recovers_from_stall(tmp_path):
+    """Stall recovery: at raw-PacBio error rates the engine plateaus when
+    the single-read edge fringe blocks all further alignments (the
+    reference just terminates there, spaced_seed.cpp:441-447). With an
+    edge_retreat budget the engine trims that fringe and keeps growing —
+    the run must retreat at least once and end with a contig at least as
+    long as the no-retreat baseline's best."""
+    from pacbioassembly_tpu.codec import binary_io
+    from pacbioassembly_tpu.tools.simulate import SimConfig, simulate
+
+    sim = SimConfig(
+        genome_len=30_000, coverage=14.0, mean_read_len=800,
+        min_read_len=600, max_read_len=1000,
+        sub_rate=0.05, ins_rate=0.05, del_rate=0.05, seed=21,
+    )
+    genome, read_list, _ = simulate(sim)
+    binfile = tmp_path / "raw_error.bin"
+    with open(binfile, "wb") as fh:
+        binary_io.write_records(fh, read_list)
+    patterns = load_patterns(data("seeds.txt"))
+
+    def run(edge_retreat):
+        cfg = AssemblyConfig(
+            engine="batch", rng_seed=5, pattern_schedule="random",
+            max_round=120, edge_retreat=edge_retreat,
+        )
+        reads = ReadStore.from_file(str(binfile), cfg)
+        asm = BatchAssembler(cfg, reads, patterns)
+        asm.run(out=io.StringIO(), log=None)
+        return asm
+
+    base = run(0)
+    best_base = max(s.ref_len for s in base.history)
+    assert base.retreats == 0
+    # baseline must actually stall well short of the genome (otherwise
+    # this test isn't exercising recovery; tighten sim params if it does)
+    assert base.nround < 120 and best_base < 0.9 * sim.genome_len
+
+    rec = run(8)
+    assert rec.retreats >= 1
+    best_rec = max(s.ref_len for s in rec.history)
+    # identical rng schedule until the baseline's termination point, so
+    # recovery can only add rounds and never lose the baseline's best
+    assert rec.nround > base.nround
+    assert best_rec >= best_base
+
+
+def test_prefilter_truncated_scoring_and_no_lost_accepts(monkeypatch, tmp_path):
+    """Screening prefilter (AssemblyConfig.prefilter_len): (a) the device
+    truncated-window scoring (gather.py lb-clamp) matches the host scorer
+    on the same truncated geometry; (b) on a candidate flood from a
+    low-weight pattern, prefilter+full-screen accepts EXACTLY the same
+    candidates as the full screen alone while rejecting most of the junk
+    early."""
+    import jax
+
+    from pacbioassembly_tpu.align.scan import batch_score
+    from pacbioassembly_tpu.codec import binary_io
+    from pacbioassembly_tpu.index import build_seedmap
+    from pacbioassembly_tpu.assemble.batch import expand_candidates
+    from pacbioassembly_tpu.tools.simulate import SimConfig, simulate
+
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+
+    sim = SimConfig(
+        genome_len=30_000, coverage=10.0, mean_read_len=1000,
+        min_read_len=800, max_read_len=1200,
+        sub_rate=0.03, ins_rate=0.03, del_rate=0.03, seed=13,
+    )
+    genome, read_list, _ = simulate(sim)
+    binfile = tmp_path / "pf.bin"
+    with open(binfile, "wb") as fh:
+        binary_io.write_records(fh, read_list)
+    cfg = AssemblyConfig(
+        engine="batch", rng_seed=2, pattern_schedule="roundrobin", max_round=6
+    )
+    reads = ReadStore.from_file(str(binfile), cfg)
+    patterns = load_patterns(data("seeds.txt"))
+    asm = BatchAssembler(cfg, reads, patterns)
+    asm.run(out=io.StringIO(), log=None)
+    assert asm.ref.length() > 3000
+
+    # weight-8 pattern: ~1 random collision per 65k trials floods the
+    # candidate set with junk alongside the real overlaps
+    pattern = dna.parse_pattern("1111111100000000")
+    index, _ = build_seedmap(asm.ref.text(), pattern)
+    cands, _ = expand_candidates(
+        asm.reads, asm.surviving, index, pattern, cfg, asm._trial_cache
+    )
+    assert len(cands) >= 1000, "flood fixture must produce many candidates"
+    seg_len, ref_len = asm._geometry(cands)
+
+    # (a) device truncated scoring == host scorer on the same geometry
+    LBp = cfg.prefilter_len
+    Wp = 1 + int(LBp * cfg.prefilter_ratio)  # band must cover the ratio's goal cells
+    LAp = LBp + Wp + 1
+    idxs = np.arange(min(64, len(cands)))
+    vecs = asm._device_vectors(cands, idxs, ref_len, LAp, 64)
+    packed = asm._builder().score(
+        asm.ref, *vecs, LA=LAp, LB=LBp, w_max=Wp,
+        ratio=cfg.prefilter_ratio, backend="scan",
+    )
+    a_h = np.zeros((len(idxs), LAp), np.uint8)
+    b_h = np.zeros((len(idxs), LBp), np.uint8)
+    la_h = np.zeros(len(idxs), np.int32)
+    lb_h = np.zeros(len(idxs), np.int32)
+    for bi, n in enumerate(idxs):
+        cj = int(cands.j[n])
+        fwd = bool(cands.forward[n])
+        codes = asm.reads.codes(asm.surviving[int(cands.read[n])])
+        seg = (codes[cj:] if fwd else codes[: len(codes) - cj][::-1])[:LBp]
+        p = asm.ref.beg + int(cands.r_offset[n])
+        need = min(int(ref_len[n]), LAp)
+        a = asm.ref.buf[p : p + need] if fwd else asm.ref.buf[p - need + 1 : p + 1][::-1]
+        a_h[bi, : len(a)] = a
+        b_h[bi, : len(seg)] = seg
+        la_h[bi] = need
+        lb_h[bi] = len(seg)
+    res_h = batch_score(
+        a_h, la_h, b_h, lb_h, la_max=LAp, w_max=Wp, ratio=cfg.prefilter_ratio
+    )
+    np.testing.assert_array_equal(
+        packed[: len(idxs), 0] != 0, np.asarray(res_h.accept)
+    )
+
+    # (b) identical final accepts with and without the prefilter
+    asm.cfg.prefilter_len = 0
+    acc_off = asm.screen(cands).copy()
+    asm.cfg.prefilter_len = LBp
+    asm.cfg.prefilter_min_batch = 1
+    acc_on = asm.screen(cands).copy()
+    np.testing.assert_array_equal(acc_on, acc_off)
+    assert acc_off.sum() >= 1, "fixture must contain real overlaps"
+    assert 0 <= asm.prefilter_kept <= 0.5 * len(cands), (
+        f"prefilter kept {asm.prefilter_kept}/{len(cands)} — not selective"
+    )
