@@ -36,7 +36,12 @@ def main() -> int:
     ap.add_argument("--coverage", type=float, default=30.0)
     ap.add_argument("--mean-read-len", type=int, default=2500)
     ap.add_argument("--error-rate", type=float, default=0.15)
+    ap.add_argument("--error-profile", choices=("uniform", "clr"), default="uniform",
+                    help="uniform sub/ins/del thirds, or PacBio CLR-like "
+                         "1:12:4 (insertion-dominated raw error)")
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--contigs", type=int, default=1,
+                    help="assemble up to N contigs (restart on survivors)")
     ap.add_argument("--max-round", type=int, default=None,
                     help="bound rounds (default: run to convergence)")
     ap.add_argument("--out", default="/tmp/pbtpu_ecoli")
@@ -60,26 +65,30 @@ def main() -> int:
     from pacbioassembly_tpu.assemble.batch import BatchAssembler
     from pacbioassembly_tpu.codec import binary_io, dna
     from pacbioassembly_tpu.config import AssemblyConfig
-    from pacbioassembly_tpu.tools.simulate import SimConfig, simulate
+    from pacbioassembly_tpu.tools.simulate import SimConfig, simulate, split_error_rate
     from pacbioassembly_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
 
+    prof_tag = "" if args.error_profile == "uniform" else f"_{args.error_profile}"
     bin_path = os.path.join(
         args.out,
-        f"reads_{args.genome_len}_{args.coverage:g}_{args.error_rate:g}_{args.seed}.bin",
+        f"reads_{args.genome_len}_{args.coverage:g}_{args.error_rate:g}"
+        f"{prof_tag}_{args.seed}.bin",
     )
     genome_path = os.path.join(args.out, "genome.txt")
     if not os.path.exists(bin_path):
-        log(f"simulating {args.genome_len/1e6:.1f} Mb @ {args.coverage}x ...")
+        log(f"simulating {args.genome_len/1e6:.1f} Mb @ {args.coverage}x "
+            f"({args.error_profile} errors) ...")
         t0 = time.time()
+        sub, ins, dele = split_error_rate(args.error_rate, args.error_profile)
         sim = SimConfig(
             genome_len=args.genome_len,
             coverage=args.coverage,
             mean_read_len=args.mean_read_len,
-            sub_rate=args.error_rate / 3,
-            ins_rate=args.error_rate / 3,
-            del_rate=args.error_rate / 3,
+            sub_rate=sub,
+            ins_rate=ins,
+            del_rate=dele,
             seed=args.seed,
         )
         genome, reads_list, _ = simulate(sim)
@@ -109,15 +118,55 @@ def main() -> int:
     patterns = dna.load_patterns(
         os.path.join(os.path.dirname(__file__), "..", "tests", "data", "seeds.txt")
     )
-    asm = BatchAssembler(cfg, reads, patterns)
     setup_s = time.time() - t0
     log(f"loaded {len(reads)} reads in {setup_s:.1f}s; assembling ...")
 
     t1 = time.time()
-    asm.run(out=io.StringIO(), log=sys.stderr)
-    wall = time.time() - t1
+    if args.contigs > 1:
+        from pacbioassembly_tpu.assemble.batch import assemble_contigs
 
-    consumed = len(reads) - len(asm.surviving)
+        contig_results, surviving = assemble_contigs(
+            cfg, reads, patterns, args.contigs, log=sys.stderr
+        )
+        wall = time.time() - t1
+        contig_lens = sorted((len(c.codes) for c in contig_results), reverse=True)
+        best = max(contig_results, key=lambda c: len(c.codes))
+        best_codes = best.codes
+        consumed = len(reads) - len(surviving)
+        rounds = sum(c.nrounds for c in contig_results)
+        retreats = -1  # per-assembler; not aggregated
+        dp_cells = 0   # per-assembler; not aggregated in multi-contig mode
+        for ci, c in enumerate(contig_results):
+            with open(os.path.join(args.out, f"contig_{ci}.txt"), "w") as fh:
+                fh.write(dna.codes_to_text(c.codes) + "\n")
+    else:
+        asm = BatchAssembler(cfg, reads, patterns)
+        asm.run(out=io.StringIO(), log=sys.stderr)
+        wall = time.time() - t1
+        best_codes = asm.ref.text()
+        contig_lens = [len(best_codes)]
+        consumed = len(reads) - len(asm.surviving)
+        rounds = asm.nround
+        retreats = asm.retreats
+        dp_cells = asm.dp_cells_total
+
+    # contig quality, the reference's way (doc/final.tex:266-277): map
+    # fresh low-error CCS-like reads onto the contig with the batched
+    # locator and report cost per matched base
+    from pacbioassembly_tpu.tools.locate import residual_error
+    from pacbioassembly_tpu.tools.simulate import SimConfig as _SC
+    from pacbioassembly_tpu.tools.simulate import simulate as _simulate
+
+    log("measuring residual error (locator vs CCS-like 1%-error reads) ...")
+    with open(genome_path) as fh:
+        genome = dna.text_to_codes(fh.readline().strip())
+    ccs_sim = _SC(
+        genome_len=len(genome), coverage=2.0, mean_read_len=2500,
+        sub_rate=0.004, ins_rate=0.003, del_rate=0.003, seed=args.seed + 1,
+    )
+    _, ccs_reads, _ = _simulate(ccs_sim, genome=genome)
+    quality = residual_error(best_codes, patterns[0], ccs_reads, ratio=0.15)
+
     summary = {
         "metric": "reads_aligned_per_s",
         "value": round(consumed / wall, 2),
@@ -125,21 +174,25 @@ def main() -> int:
         "genome_len": args.genome_len,
         "coverage": args.coverage,
         "error_rate": args.error_rate,
+        "error_profile": args.error_profile,
         "n_reads": len(reads),
         "reads_consumed": consumed,
-        "rounds": asm.nround,
-        "retreats": asm.retreats,
-        "contig_len": asm.ref.length(),
+        "rounds": rounds,
+        "retreats": retreats,
+        "contig_len": int(contig_lens[0]),
+        "contig_lens": [int(x) for x in contig_lens],
+        "residual_error": quality["residual_error"],
+        "quality": quality,
         "wall_s": round(wall, 1),
         "setup_s": round(setup_s, 1),
-        "dp_cells_total": asm.dp_cells_total,
-        "dp_gcells_per_s": round(asm.dp_cells_total / wall / 1e9, 2),
+        "dp_cells_total": dp_cells,
+        "dp_gcells_per_s": round(dp_cells / wall / 1e9, 2),
         "bin_bytes": os.path.getsize(bin_path),
     }
     with open(os.path.join(args.out, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     with open(os.path.join(args.out, "contig.txt"), "w") as fh:
-        fh.write(dna.codes_to_text(asm.ref.text()) + "\n")
+        fh.write(dna.codes_to_text(best_codes) + "\n")
     print(json.dumps(summary))
     return 0
 

@@ -4,10 +4,10 @@ The hot loop of the whole engine (reference seq_aligner.h:151-190 is the
 serial analogue; SURVEY.md §6's north-star metric is banded-DP cell
 updates/s/chip). Design:
 
-  * one grid program scores 8 (int32 costs) or 16 (int16 costs) alignments
-    — one per sublane; the band stripe lives across lanes: cell (i, j) of
-    pair m sits at [m, k = j - i + W] of a (sublanes, S) VMEM vector,
-    S = 2*w_max+1 rounded up to a lane multiple;
+  * one grid program scores 8 alignments (int32 costs) — one per sublane;
+    the band stripe lives across lanes: cell (i, j) of pair m sits at
+    [m, k = j - i + W] of a (sublanes, S) VMEM vector, S = 2*w_max+1
+    rounded up to a lane multiple;
   * rows advance sequentially (i = 1..la_max); everything within a row is
     a VPU vector op across the whole band — the DELETE source is a lane
     roll of the previous row, the MATCH source is the previous row in
@@ -27,10 +27,11 @@ updates/s/chip). Design:
     by length so groups finish together;
   * 5 scalars per alignment leave the chip.
 
-int16 mode (precision="int16") would double sublane throughput whenever
-the cost range plus doubling-scan headroom fits (la_max + w_max + 2 <
-32767 - S - 2), but v5e hardware has no 16-bit vector comparisons, so it
-is only usable in interpret mode / future targets; "auto" picks int32.
+Costs are int32-only: an int16 mode (16 pairs/sublane group) was built and
+measured in r1/r2 but v5e hardware has no 16-bit vector comparisons at all
+("Target does not support this comparison" — interpret-only), so the
+plumbing was removed in r3; see git history if a future TPU generation
+gains 16-bit compares.
 
 Parity: bit-identical decisions with align/scan.py and align/banded.py —
 every threshold comparison uses integer tables precomputed on host in
@@ -58,16 +59,6 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _roll_cost(x, sh, cdtype):
-    """Static lane roll of a cost array. tpu.dynamic_rotate only supports
-    32-bit lanes, so int16 arrays are bitcast to int32 (sublane-paired
-    packing keeps lane rotation semantics) around the roll."""
-    if cdtype == jnp.int16:
-        xi = pltpu.bitcast(x, jnp.int32)
-        return pltpu.bitcast(pltpu.roll(xi, sh, axis=1), jnp.int16)
-    return pltpu.roll(x, sh, axis=1)
-
-
 def _lane_pick(vec, lane, idx, big):
     """Value at lane `idx` (traced) of each int32 sublane row, as (rows, 1)."""
     return jnp.min(jnp.where(lane == idx, vec, big), axis=1, keepdims=True)
@@ -82,8 +73,8 @@ def _kernel(
     lenb_ref,     # (SL, 1) int32
     oksz_ref,     # (SL, 1) int32 size-accept flag
     out_ref,      # (SL, 128) int32: lanes 0..4 = accept, cost, ma, mb, diag
-    prev_ref,     # scratch (SL, S) cdtype
-    final_ref,    # scratch (SL, S) cdtype
+    prev_ref,     # scratch (SL, S) int32
+    final_ref,    # scratch (SL, S) int32
     awin_ref,     # scratch (SL, CHUNK) int32 (dynamic rotates are int32-only)
     bwin_ref,     # scratch (SL, S + CHUNK) int32
     twin_ref,     # scratch (1, 2 * CHUNK) int32
@@ -92,45 +83,38 @@ def _kernel(
     w_max: int,
     s_pad: int,
     sublanes: int,
-    cdtype,
-    inf_val: int,
 ):
     S = s_pad
     SW = S + CHUNK
     W = w_max
     SL = sublanes
-    INF = cdtype(inf_val)  # noqa: used as a splat constant, never a scalar op
-    # two mask domains: selects over cost arrays need masks born in the cost
-    # dtype's tile layout (Mosaic cannot relayout i1 between 32- and 16-bit
-    # tilings), control/goal logic stays int32
+    INF = jnp.int32(INF32)  # splat constant, never a scalar op
     lane = jax.lax.broadcasted_iota(jnp.int32, (SL, S), 1)
-    lane_c = lane.astype(cdtype)  # 16-bit iota is not supported in hardware
+    lane_c = lane
     md = md_ref[:]
     len_a = lena_ref[:]
     len_b = lenb_ref[:]
-    # full-shape (SL, S) broadcasts: every int16-domain mask must be built
-    # from full-layout operands (Mosaic cannot relayout i1 between
-    # replicated and full layouts in 16-bit tiling)
-    zeros_f = jnp.zeros((SL, S), cdtype)
-    md_c = md.astype(cdtype) + zeros_f
-    lena_c = len_a.astype(cdtype) + zeros_f
-    lenb_c = len_b.astype(cdtype) + zeros_f
-    W_c = cdtype(w_max)
+    # full-shape (SL, S) broadcasts for the lane-wise band/validity masks
+    zeros_f = jnp.zeros((SL, S), jnp.int32)
+    md_c = md + zeros_f
+    lena_c = len_a + zeros_f
+    lenb_c = len_b + zeros_f
+    W_c = jnp.int32(w_max)
 
     # row 0 borders: cost(0, j) = j for 0 <= j <= min(len_b, md)
     j0 = lane_c - W_c
     prev_ref[:] = jnp.where(
         (j0 >= 0) & (j0 <= jnp.minimum(lenb_c, md_c)), j0, INF
     )
-    final_ref[:] = jnp.full((SL, S), INF, cdtype)
+    final_ref[:] = jnp.full((SL, S), INF, jnp.int32)
 
     doubling = []
     sh = 1
     while sh < S:
-        doubling.append((sh, lane_c < cdtype(sh)))
+        doubling.append((sh, lane_c < jnp.int32(sh)))
         sh <<= 1
     in_band = jnp.abs(lane_c - W_c) <= md_c
-    last_lane = lane_c == cdtype(S - 1)
+    last_lane = lane_c == jnp.int32(S - 1)
 
     oksz = oksz_ref[:]
 
@@ -141,8 +125,8 @@ def _kernel(
         return (i <= la_max) & (jnp.min(done) == 0)
 
     def row(carry):
-        # iv is the row counter as a (SL,1) cdtype VECTOR — Mosaic only
-        # supports i32 scalars, so the int16 domain never sees scalar math
+        # iv is the row counter as a (SL,1) int32 VECTOR (broadcast-friendly
+        # form of the i scalar for the lane-wise masks)
         i, iv, failed, best_col, best_col_i = carry
         prev = prev_ref[:]
         iv_f = iv + zeros_f  # full-layout row counter
@@ -160,19 +144,19 @@ def _kernel(
             twin_ref[:] = tab_ref[:, pl.ds(b0, 2 * CHUNK)]
 
         # a[i-1] per pair: element r of the window
-        ai = pltpu.roll(awin_ref[:], CHUNK - r, axis=1)[:, 0:1].astype(cdtype)
+        ai = pltpu.roll(awin_ref[:], CHUNK - r, axis=1)[:, 0:1]
         # b window: brow[k] = b_ext[(i-1) + k] = element r+k of the window
-        brow = pltpu.roll(bwin_ref[:], SW - r, axis=1)[:, :S].astype(cdtype)
+        brow = pltpu.roll(bwin_ref[:], SW - r, axis=1)[:, :S]
         # early-failure threshold floor(i*R): element r+1 of the window
         thr = pltpu.roll(twin_ref[:], 2 * CHUNK - (r + 1), axis=1)[0:1, 0:1]
 
         j = lane_c + (iv_f - W_c)
         validj = (j >= 1) & (j <= lenb_c) & in_band & active_c
-        mismatch = (brow != (ai + zeros_f)).astype(cdtype)
+        mismatch = (brow != (ai + zeros_f)).astype(jnp.int32)
         diag = jnp.where(validj, prev + mismatch, INF)
-        up_src = _roll_cost(prev, S - 1, cdtype)  # == jnp.roll(prev, -1)
+        up_src = pltpu.roll(prev, S - 1, axis=1)  # == jnp.roll(prev, -1)
         up_src = jnp.where(last_lane, INF, up_src)
-        up = jnp.where(validj, up_src + cdtype(1), INF)
+        up = jnp.where(validj, up_src + jnp.int32(1), INF)
         D = jnp.minimum(diag, up)
         border = (j == 0) & (iv_f <= md_c) & active_c
         D = jnp.where(border, iv_f, D)
@@ -180,30 +164,28 @@ def _kernel(
         # exact min-plus prefix scan (INSERT chains) by doubling
         rr = D
         for sh, edge_mask in doubling:
-            shifted = _roll_cost(rr, sh, cdtype)
+            shifted = pltpu.roll(rr, sh, axis=1)
             shifted = jnp.where(edge_mask, INF, shifted)
-            rr = jnp.minimum(rr, shifted + cdtype(sh))
+            rr = jnp.minimum(rr, shifted + jnp.int32(sh))
         cur = jnp.where(validj | border, rr, INF)
 
-        # early failure: cost(i, i) is lane W (int32 domain)
+        # early failure: cost(i, i) is lane W
         active = i <= len_a
-        diag_cell = _lane_pick(cur.astype(jnp.int32), lane, W, jnp.int32(inf_val))
+        diag_cell = _lane_pick(cur, lane, W, INF)
         fail_now = (active & (i > 10) & (i <= len_b) & (diag_cell > thr)).astype(
             jnp.int32
         )
         failed = jnp.maximum(failed, fail_now)
 
         # far-column running argmin: cost(i, len_b) at lane len_b - i + W
-        col_val = _lane_pick(
-            cur.astype(jnp.int32), lane, len_b - i + W, jnp.int32(inf_val)
-        )
+        col_val = _lane_pick(cur, lane, len_b - i + W, INF)
         upd = active & (i >= len_b) & (col_val < best_col)
         best_col = jnp.where(upd, col_val, best_col)
         best_col_i = jnp.where(upd, i, best_col_i)
 
         final_ref[:] = jnp.where(lena_c == iv_f, cur, final_ref[:])
         prev_ref[:] = jnp.where(active_c, cur, prev)
-        return i + 1, iv + jnp.ones((SL, 1), cdtype), failed, best_col, best_col_i
+        return i + 1, iv + jnp.ones((SL, 1), jnp.int32), failed, best_col, best_col_i
 
     zeros = jnp.zeros((SL, 1), jnp.int32)
     _, _, failed, best_col, best_col_i = jax.lax.while_loop(
@@ -211,15 +193,15 @@ def _kernel(
         row,
         (
             jnp.int32(1),
-            jnp.ones((SL, 1), cdtype),
+            jnp.ones((SL, 1), jnp.int32),
             zeros,
-            jnp.full((SL, 1), jnp.int32(inf_val)),
+            jnp.full((SL, 1), INF),
             zeros,
         ),
     )
 
-    final_row = final_ref[:].astype(jnp.int32)
-    INF_G = jnp.int32(inf_val)
+    final_row = final_ref[:]
+    INF_G = INF
     # goal cell, len_a <= len_b case: first minimum over lanes
     # [W, W + len_b - len_a] of the final row
     maskS = (lane >= W) & (lane <= W + (len_b - len_a))
@@ -241,7 +223,7 @@ def _kernel(
     )
 
     accept = (
-        (oksz != 0) & (failed == 0) & (cost < jnp.int32(inf_val))
+        (oksz != 0) & (failed == 0) & (cost < INF)
     ).astype(jnp.int32)
 
     lane_out = jax.lax.broadcasted_iota(jnp.int32, (SL, 128), 1)
@@ -255,7 +237,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm", "precision", "interpret"),
+    static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm", "interpret"),
 )
 def batch_score_pallas(
     a: jax.Array,
@@ -268,7 +250,6 @@ def batch_score_pallas(
     ratio: float = Constants.MAXR,
     maxn: int = Constants.ALIGNER_MAXN,
     maxm: int = Constants.ALIGNER_MAXM,
-    precision: str = "auto",  # auto | int16 | int32
     interpret: bool = False,
 ) -> BatchScores:
     """Pallas TPU equivalent of scan.batch_score (same contract).
@@ -278,18 +259,7 @@ def batch_score_pallas(
     B0 = a.shape[0]
     LB = b.shape[1]
     S = _round_up(2 * w_max + 1, CHUNK)
-
-    # int16 viability: real costs <= la_max + w_max + 2; every doubling-scan
-    # intermediate <= INF16 + S; both must stay below int16 max. NOTE:
-    # v5e hardware has no 16-bit vector comparisons ("Target does not
-    # support this comparison"), so auto resolves to int32 there; int16 is
-    # kept for interpret mode and future targets via precision="int16".
-    inf16 = 32767 - S - 2
-    use_i16 = precision == "int16" and la_max + w_max + 2 < inf16
-    if use_i16:
-        cdtype, inf_val, SL = jnp.int16, inf16, 16
-    else:
-        cdtype, inf_val, SL = jnp.int32, int(INF32), 8
+    SL = 8  # pairs per grid program (one per int32 sublane)
 
     LA_pad = _round_up(max(la_max, a.shape[1]), CHUNK)
     EXT = LA_pad + S + CHUNK
@@ -351,8 +321,6 @@ def batch_score_pallas(
             w_max=w_max,
             s_pad=S,
             sublanes=SL,
-            cdtype=cdtype,
-            inf_val=inf_val,
         ),
         grid=grid,
         in_specs=[
@@ -367,8 +335,8 @@ def batch_score_pallas(
         out_specs=pl.BlockSpec((SL, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((SL, S), cdtype),
-            pltpu.VMEM((SL, S), cdtype),
+            pltpu.VMEM((SL, S), jnp.int32),
+            pltpu.VMEM((SL, S), jnp.int32),
             pltpu.VMEM((SL, CHUNK), jnp.int32),
             pltpu.VMEM((SL, S + CHUNK), jnp.int32),
             pltpu.VMEM((1, 2 * CHUNK), jnp.int32),

@@ -433,6 +433,7 @@ class BatchAssembler:
         """Device-score all candidates vs the round-start reference.
         Returns a bool accept vector aligned with `cands`."""
         cfg = self.cfg
+        self.prefilter_kept = -1  # -1 = pass not run (set before ANY return)
         accept = np.zeros(len(cands), dtype=bool)
         if len(cands) == 0:
             self._seg_len = self._ref_len = np.zeros(0, np.int64)
@@ -441,16 +442,19 @@ class BatchAssembler:
         seg_len, ref_len = self._geometry(cands)
         self._seg_len, self._ref_len = seg_len, ref_len
 
-        # one launch per round: a single size bucket covering the largest
-        # candidate — per-launch latency dominates on remote links, and the
-        # kernel's sublane-wide early exit makes the padding nearly free for
-        # shorter, length-sorted groups
-        LB, LA, W = size_bucket(int(seg_len.max()), cfg.ratio)
         # sort by segment length (desc) so early-exit groups finish
-        # together, then screen in bounded launches (SCREEN_CHUNK)
+        # together, then screen in bounded launches (SCREEN_CHUNK), each
+        # sized by ITS OWN largest candidate: one global bucket would make
+        # every launch pay the longest read's column count (size_bucket is
+        # a geometric ladder, so per-chunk buckets add at most a handful of
+        # compiled shapes)
         idxs_all = np.argsort(-seg_len, kind="stable")
+        # loud failure instead of silent truncation for reads beyond the
+        # 20001 bucket cap (= reference MAX_READ_LEN, common.h:33)
+        assert int(seg_len[idxs_all[0]]) <= size_bucket(
+            int(seg_len[idxs_all[0]]), cfg.ratio
+        )[0], f"segment length {int(seg_len[idxs_all[0]])} exceeds max bucket"
         fusable = self._fusable(len(idxs_all))
-        self.prefilter_kept = -1  # -1 = pass not run
         if (
             cfg.prefilter_len
             and fusable
@@ -461,6 +465,7 @@ class BatchAssembler:
             self.prefilter_kept = int(keep.sum())
         for lo in range(0, len(idxs_all), SCREEN_CHUNK):
             idxs = idxs_all[lo : lo + SCREEN_CHUNK]
+            LB, LA, W = size_bucket(int(seg_len[idxs[0]]), cfg.ratio)
             if fusable:
                 # fused single-dispatch path: materialize+score in ONE
                 # jitted call, ONE packed fetch (round-trip count bounds
@@ -517,6 +522,7 @@ class BatchAssembler:
         sequential walk). Boundary-capable alignments go through the
         exact sequential try_align (votes + growth vs the CURRENT
         reference). Returns the number of consumed reads."""
+        self.commit_phase_s = {"tb_s": 0.0, "host_commit_s": 0.0, "elect_s": 0.0}
         acc_idx = np.nonzero(accept)[0]
         if len(acc_idx) == 0:
             return 0
@@ -537,7 +543,11 @@ class BatchAssembler:
 
         t_tb0 = _time.perf_counter()
         tb = {}
-        if self.cfg.device_traceback:
+        # locked mode (-l) freezes ALL voting and growth (ref_seq.h:259-266):
+        # route everything through the host try_align, which respects
+        # ref.locked (reads are still consumed on success) — the device
+        # traceback path exists only to vote, which locked forbids
+        if self.cfg.device_traceback and not self.ref.locked:
             eligible = [n for n in chosen.values() if interior(n)]
             if eligible:
                 tb = self._traceback_batch(cands, eligible, seg_len, ref_len)
@@ -839,16 +849,14 @@ class BatchAssembler:
                 )
             if metrics:
                 metrics.round(stats, extra=getattr(self, "phase_s", None))
-            if cfg.checkpoint_path and cfg.checkpoint_every and (
-                self.nround % cfg.checkpoint_every == 0
-            ):
-                from .checkpoint import save_checkpoint
-
-                save_checkpoint(cfg.checkpoint_path, self)
+            stop = False
             if self.nfailure >= len(self.patterns):
                 # every pattern failed in a row — the reference terminates
                 # here; with edge_retreat budget left, resample the stalled
-                # edge instead (see AssemblyConfig.edge_retreat)
+                # edge instead (see AssemblyConfig.edge_retreat). Runs
+                # BEFORE the per-round checkpoint so a resume replays the
+                # same trajectory as the uninterrupted run (the retreat and
+                # nfailure reset are part of this round's state).
                 trimmed = 0
                 if self.retreats < cfg.edge_retreat:
                     trimmed = self.ref.retreat_edges(
@@ -856,14 +864,23 @@ class BatchAssembler:
                         keep_min=cfg.overlap_min,
                     )
                 if trimmed == 0:
-                    break
-                self.retreats += 1
-                self.nfailure = 0
-                if log:
-                    log.write(
-                        f"--- edge retreat {self.retreats}: trimmed {trimmed} "
-                        f"low-support cells, ref_len={self.ref.length()}\n"
-                    )
+                    stop = True
+                else:
+                    self.retreats += 1
+                    self.nfailure = 0
+                    if log:
+                        log.write(
+                            f"--- edge retreat {self.retreats}: trimmed {trimmed} "
+                            f"low-support cells, ref_len={self.ref.length()}\n"
+                        )
+            if cfg.checkpoint_path and cfg.checkpoint_every and (
+                self.nround % cfg.checkpoint_every == 0
+            ):
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(cfg.checkpoint_path, self)
+            if stop:
+                break
             if out:
                 out.write(dna.codes_to_text(self.ref.text()) + "\n")
         if cfg.checkpoint_path:

@@ -111,7 +111,13 @@ class AssemblyConfig:
     # disables entirely.
     prefilter_len: int = 128
     prefilter_ratio: float = 0.45
-    prefilter_min_batch: int = 8192
+    # run the prefilter whenever a device-fused round has at least this
+    # many candidates. 1024 (was 8192 in r2): the pass costs one extra tiny
+    # launch, and at 4.6 Mb scale steady-state rounds carry ~6-7k candidates
+    # — just under the old threshold — so every full-band launch was paying
+    # the few true overlaps' full column count for thousands of random
+    # collisions (measured: screen 5.4 s/round -> ~0.6 s with the pass on)
+    prefilter_min_batch: int = 1024
 
     # stall recovery (extension beyond the reference, which terminates as
     # soon as every pattern fails in a row — spaced_seed.cpp:441-447): up

@@ -288,6 +288,9 @@ def main(argv=None) -> int:
     p.add_argument("--coverage", type=float, default=30.0)
     p.add_argument("--mean-read-len", type=int, default=2500)
     p.add_argument("--error-rate", type=float, default=0.15)
+    p.add_argument("--error-profile", choices=("uniform", "clr"), default="uniform",
+                   help="error composition: uniform sub/ins/del thirds, or "
+                        "PacBio CLR-like 1:12:4 (insertion-dominated)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--genome-out", default=None)
     from .simulate import cmd_simulate

@@ -65,17 +65,16 @@ def _read_triples(
     return np.repeat(rows, m), np.repeat(cols, m), cand
 
 
-def locate_batched(
+def map_reads(
     contig_codes: np.ndarray,
     pattern: int,
     seqs: Iterable[np.ndarray],
     ratio: float,
-    out: TextIO = sys.stdout,
-    log: TextIO = sys.stderr,
-) -> int:
-    """Batched-device equivalent of the locator main loop. `seqs` are ALL
-    stdin words as code arrays; reads under 500 bp are skipped without
-    counting (locator.cpp:72)."""
+) -> tuple[list[tuple[int, int, int, int, int]], int]:
+    """Core of the locator: map each read onto the contig and return
+    ([(nseq, ref_pos, final_cost, len-j, diag_cost)] for each read's first
+    accepted mapping, number_of_reads_processed). Decision- and
+    order-identical to the reference's sequential loop (locator.cpp:68-92)."""
     seqs = list(seqs)
     index, _ = build_seedmap(contig_codes, pattern, max_read_len=len(contig_codes))
     # reads under 500 bp are skipped WITHOUT counting (locator.cpp:72
@@ -138,12 +137,55 @@ def locate_batched(
         if r not in first:
             first[r] = t
 
+    rows = []
     for nseq in range(len(big)):
         t = first.get(nseq)
         if t is not None:
             ln = len(big[nseq]) - int(tri_j[t])
-            out.write(
-                f"{nseq}\t{int(tri_cand[t])}\t{int(cost[t])}\t{ln}\t{int(diag[t])}\n"
+            rows.append(
+                (nseq, int(tri_cand[t]), int(cost[t]), ln, int(diag[t]))
             )
-    print(f"totally {len(big)} sequences processed", file=log)
+    return rows, len(big)
+
+
+def locate_batched(
+    contig_codes: np.ndarray,
+    pattern: int,
+    seqs: Iterable[np.ndarray],
+    ratio: float,
+    out: TextIO = sys.stdout,
+    log: TextIO = sys.stderr,
+) -> int:
+    """Batched-device equivalent of the locator main loop. `seqs` are ALL
+    stdin words as code arrays; reads under 500 bp are skipped without
+    counting (locator.cpp:72)."""
+    rows, nproc = map_reads(contig_codes, pattern, seqs, ratio)
+    for nseq, pos, c, ln, dg in rows:
+        out.write(f"{nseq}\t{pos}\t{c}\t{ln}\t{dg}\n")
+    print(f"totally {nproc} sequences processed", file=log)
     return 0
+
+
+def residual_error(
+    contig_codes: np.ndarray,
+    pattern: int,
+    seqs: Iterable[np.ndarray],
+    ratio: float = 0.15,
+) -> dict:
+    """The reference's contig-quality measurement (doc/final.tex:266-277):
+    map low-error reads onto the contig with the locator and report the
+    per-base residual = total alignment cost / total matched length over
+    each read's first accepted mapping (its published raw-error contig
+    scored 0.1219 by this method). Returns
+    {mapped, total, residual_error, mean_cost_per_read_base}."""
+    rows, nproc = map_reads(contig_codes, pattern, seqs, ratio)
+    tot_cost = sum(r[2] for r in rows)
+    tot_len = sum(r[3] for r in rows)
+    return {
+        "mapped": len(rows),
+        "total": nproc,
+        "residual_error": round(tot_cost / tot_len, 4) if tot_len else None,
+        "mean_cost_per_read_base": (
+            round(float(np.mean([r[2] / r[3] for r in rows])), 4) if rows else None
+        ),
+    }

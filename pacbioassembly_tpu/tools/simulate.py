@@ -30,6 +30,20 @@ class SimConfig:
     seed: int = 0
 
 
+def split_error_rate(total: float, profile: str = "uniform") -> tuple[float, float, float]:
+    """Split a total per-base error rate into (sub, ins, del) rates.
+
+    "uniform": e/3 each (the r1/r2 benchmark composition).
+    "clr": PacBio CLR-like 1:12:4 sub:ins:del — raw CLR error is
+    insertion-dominated (the reference's real data, doc/proposal.mkd
+    background; ~12% ins / 4% del / 1% sub at 15-17% total)."""
+    if profile == "uniform":
+        return total / 3, total / 3, total / 3
+    if profile == "clr":
+        return total * 1 / 17, total * 12 / 17, total * 4 / 17
+    raise ValueError(f"unknown error profile: {profile!r}")
+
+
 def mutate_read(read: np.ndarray, cfg: SimConfig, rng: np.random.Generator) -> np.ndarray:
     """Apply CLR-style errors: per-base substitution, insertion-after,
     deletion."""
@@ -85,13 +99,16 @@ def simulate(cfg: SimConfig, genome: np.ndarray | None = None):
 
 
 def cmd_simulate(args) -> int:
+    sub, ins, dele = split_error_rate(
+        args.error_rate, getattr(args, "error_profile", "uniform")
+    )
     cfg = SimConfig(
         genome_len=args.genome_len,
         coverage=args.coverage,
         mean_read_len=args.mean_read_len,
-        sub_rate=args.error_rate / 3,
-        ins_rate=args.error_rate / 3,
-        del_rate=args.error_rate / 3,
+        sub_rate=sub,
+        ins_rate=ins,
+        del_rate=dele,
         seed=args.seed,
     )
     genome, reads, starts = simulate(cfg)

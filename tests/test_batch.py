@@ -498,3 +498,62 @@ def test_prefilter_truncated_scoring_and_no_lost_accepts(monkeypatch, tmp_path):
     assert 0 <= asm.prefilter_kept <= 0.5 * len(cands), (
         f"prefilter kept {asm.prefilter_kept}/{len(cands)} — not selective"
     )
+
+
+def test_prefilter_no_lost_accepts_high_error(monkeypatch, tmp_path):
+    """The prefilter targets 15% raw-error runs, but the r2 equivalence
+    fixture only covered 3% error (ADVICE r2): assert accept-set equality
+    with/without the prefilter on a 15%-total, CLR-profile
+    (insertion-dominated 1:12:4) fixture — the exact regime of the
+    reference's published contig (doc/final.tex:263-277)."""
+    import jax
+
+    from pacbioassembly_tpu.codec import binary_io
+    from pacbioassembly_tpu.index import build_seedmap
+    from pacbioassembly_tpu.assemble.batch import expand_candidates
+    from pacbioassembly_tpu.tools.simulate import SimConfig, simulate, split_error_rate
+
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+
+    sub, ins, dele = split_error_rate(0.15, "clr")
+    sim = SimConfig(
+        genome_len=25_000, coverage=14.0, mean_read_len=1000,
+        min_read_len=800, max_read_len=1200,
+        sub_rate=sub, ins_rate=ins, del_rate=dele, seed=17,
+    )
+    genome, read_list, _ = simulate(sim)
+    binfile = tmp_path / "pf15.bin"
+    with open(binfile, "wb") as fh:
+        binary_io.write_records(fh, read_list)
+    cfg = AssemblyConfig(
+        engine="batch", rng_seed=3, pattern_schedule="roundrobin", max_round=8
+    )
+    reads = ReadStore.from_file(str(binfile), cfg)
+    patterns = load_patterns(data("seeds.txt"))
+    asm = BatchAssembler(cfg, reads, patterns)
+    asm.run(out=io.StringIO(), log=None)
+    assert asm.ref.length() > 1500
+
+    # candidate set across every pattern so worst-case (15%-read vs
+    # 15%-edge) geometries are represented
+    accept_pairs = []
+    n_total = n_acc = 0
+    for pattern in patterns:
+        index, _ = build_seedmap(asm.ref.text(), pattern)
+        cands, _ = expand_candidates(
+            asm.reads, asm.surviving, index, pattern, cfg, asm._trial_cache
+        )
+        if len(cands) == 0:
+            continue
+        asm.cfg.prefilter_len = 0
+        acc_off = asm.screen(cands).copy()
+        asm.cfg.prefilter_len = 128
+        asm.cfg.prefilter_min_batch = 1
+        acc_on = asm.screen(cands).copy()
+        np.testing.assert_array_equal(acc_on, acc_off)
+        n_total += len(cands)
+        n_acc += int(acc_off.sum())
+        accept_pairs.append((acc_on, acc_off))
+    assert n_total >= 200, f"fixture too small ({n_total} candidates)"
+    assert n_acc >= 3, "fixture must contain real 15%-error overlaps"

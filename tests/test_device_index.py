@@ -30,7 +30,36 @@ def test_device_index_matches_host():
         lo_d, cnt_d = device_lookup(dev, jnp.asarray(queries))
         np.testing.assert_array_equal(np.asarray(cnt_d), cnt_h)
         pad = dev.keys.shape[0] - n
-        np.testing.assert_array_equal(np.asarray(lo_d) - pad, lo_h)
+        # starts compare only where cnt > 0 (miss rows have unspecified
+        # start since the host index moved to hash-probe lookups)
+        hit = cnt_h > 0
+        np.testing.assert_array_equal(
+            (np.asarray(lo_d) - pad)[hit], lo_h[hit]
+        )
+
+
+def test_host_lookup_batch_equals_binary_search():
+    """The hash-probe lookup_batch is bit-equivalent to the two-searchsorted
+    definition over random key sets (incl. heavy duplication and empty
+    indexes)."""
+    from pacbioassembly_tpu.index.seedmap import SeedIndex
+
+    rng = np.random.default_rng(9)
+    for trial in range(25):
+        n = int(rng.integers(0, 3000))
+        space = 1 << int(rng.integers(4, 32))
+        raw = rng.integers(0, space, n, dtype=np.uint32)
+        order = np.argsort(raw, kind="stable")
+        idx = SeedIndex(raw[order], np.arange(n, dtype=np.int32)[order])
+        q = rng.integers(0, space, 4000, dtype=np.uint32)
+        if n:
+            q[:500] = rng.choice(raw, 500)
+        s, c = idx.lookup_batch(q)
+        lo = np.searchsorted(idx.keys, q, side="left")
+        hi = np.searchsorted(idx.keys, q, side="right")
+        np.testing.assert_array_equal(c, hi - lo, err_msg=str(trial))
+        hitq = c > 0
+        np.testing.assert_array_equal(s[hitq], lo[hitq], err_msg=str(trial))
 
 
 def test_device_index_boundary_windows():

@@ -13,15 +13,13 @@ from pacbioassembly_tpu.align.wavefront import batch_score_pallas
 from test_scan import make_cases, pack
 
 
-@pytest.mark.parametrize("precision", ["int32", "int16"])
-def test_pallas_interpret_matches_numpy(precision):
+def test_pallas_interpret_matches_numpy():
     rng = np.random.default_rng(21)
     cases = make_cases(rng, 16, max_len=48)
     LA, LB, W = 56, 56, 20
     A, las, Bm, lbs = pack(cases, LA, LB)
     res = batch_score_pallas(
-        A, las, Bm, lbs, la_max=LA, w_max=W, ratio=0.3,
-        precision=precision, interpret=True,
+        A, las, Bm, lbs, la_max=LA, w_max=W, ratio=0.3, interpret=True,
     )
     accept = np.asarray(res.accept)
     cost = np.asarray(res.cost)

@@ -75,3 +75,42 @@ def test_variant_locked_reference():
         assert gc == mc or (gc == "\n" and mc == "T")
     # reads still get consumed on successful locked alignment
     assert len(asm.surviving) < 60
+
+
+def test_variant_locked_batch_engine():
+    """--engine batch -l: the batch engine must also freeze ALL voting and
+    growth (ref_seq.h:259-266) — it may not route interior alignments
+    through the device-traceback vote path. Output parity with the same
+    golden as the exact engine (a locked reference never changes, so the
+    two engines' discovery sees identical state every round), and the vote
+    tensors must be bit-untouched."""
+    cfg = AssemblyConfig(
+        engine="batch",
+        initial_ref_path=data("synth2_init.txt"),
+        locked=True,
+        max_round=5,
+        pattern_schedule="roundrobin",
+        quirk_init_newline=True,
+        quirk_seed_at=True,
+    )
+    from pacbioassembly_tpu.assemble.batch import BatchAssembler
+
+    reads = ReadStore.from_file(data("synth2_reads.bin"), cfg)
+    patterns = load_patterns(data("oneseed_full.txt"))
+    asm = BatchAssembler(cfg, reads, patterns)
+    sel0 = asm.ref.sel.copy()
+    sup0 = asm.ref.sup.copy()
+    tot0 = asm.ref.total.copy()
+    out = io.StringIO()
+    asm.run(out=out, log=None)
+    golden = open(data("golden_consensus_locked.txt")).read()
+    outv = out.getvalue()
+    assert len(outv) == len(golden)
+    for gc, mc in zip(golden, outv):
+        assert gc == mc or (gc == "\n" and mc == "T")
+    # locked == zero vote mutation (this is what r2's engine violated)
+    assert (asm.ref.sel == sel0).all()
+    assert (asm.ref.sup == sup0).all()
+    assert (asm.ref.total == tot0).all()
+    # reads still get consumed on successful locked alignment
+    assert len(asm.surviving) < 60
