@@ -84,6 +84,10 @@ UNROLL = 32
 # big-band geometries so the working set stays inside VMEM. Env-tunable
 # for hardware retuning.
 SL = int(os.environ.get("PBTPU_BITWAVE_SL", "128"))
+# keep the provably-redundant Kogge-Stone wrap masks (1, default) or drop
+# them (0) — see the up() note in _kernel; experiment knob for VERDICT r2
+# item 5 (op-count cut in the carry resolution)
+_KSMASK = os.environ.get("PBTPU_BITWAVE_KSMASK", "1") != "0"
 
 
 def _pick_sl(KA: int, PBL: int, L: int, NB: int) -> int:
@@ -190,9 +194,14 @@ def _kernel(
         when every live word sits below L-sh (gen/prop are zero above
         `words`), the wrapped-in lanes are zeros and the mask is free."""
         r = pltpu.roll(x, sh, axis=1)
-        # NOTE: the mask is provably redundant when words <= L - sh (the
-        # wrapped lanes are zero), but dropping it was measured to inflate
-        # Mosaic compile time 4.6s -> 63s for a 2% runtime win — keep it.
+        # The mask is provably redundant when words <= L - sh AND the
+        # blocks don't share lanes (NB == 1): gen/prop are zero above the
+        # top live word, so the wrapped lanes bring in zeros. r2 kept the
+        # mask because dropping it inflated Mosaic compile 4.6s -> 63s for
+        # a +2% runtime win; with the persistent compile cache the compile
+        # is one-time, so r3 re-measures via PBTPU_BITWAVE_KSMASK=0.
+        if nb == 1 and words <= L - sh and not _KSMASK:
+            return r
         return r & pltpu.bitcast(up_masks[sh], jnp.int32)
 
     def add_carry(x, y):

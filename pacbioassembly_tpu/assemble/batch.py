@@ -48,8 +48,11 @@ SEED_LEN = Constants.SEED_LEN
 SCREEN_CHUNK = 4096
 
 # max candidates per prefilter launch (tiny LB=prefilter_len shapes, so the
-# working set stays far below the full-screen chunk's)
-PREFILTER_CHUNK = 16384
+# working set stays far below the full-screen chunk's; 64k rows at LA=187
+# is a ~12 MB gather). Launch count, not DP, bounds the pass on the
+# tunneled TPU (~0.5 s/launch measured r3), so one launch covers the whole
+# round's candidates in all but extreme rounds.
+PREFILTER_CHUNK = 65536
 
 
 class CandidateBatch:
@@ -162,6 +165,9 @@ def expand_candidates(
     the cap is losing discoverable overlaps."""
     if not surviving:
         return CandidateBatch.empty(), 0
+    import time as _time
+
+    t0 = _time.perf_counter()
     cap = cfg.bucket_max_candidates
     alive = np.asarray(surviving)
     seeds = cache.seeds[alive] & np.uint32(pattern)
@@ -170,6 +176,8 @@ def expand_candidates(
     cnt = cnt.reshape(seeds.shape) * valid
     lo = lo.reshape(seeds.shape)
     dropped = int(np.maximum(cnt - cap, 0).sum())
+    t1 = _time.perf_counter()
+    expand_candidates.phase_s = {"lookup_s": round(t1 - t0, 4)}
 
     rows, cols = np.nonzero(cnt)  # row-major == read asc, trial-priority asc
     if len(rows) == 0:
@@ -190,12 +198,17 @@ def expand_candidates(
         # diagonal; keep only the first (= highest trial priority, the one
         # the reference would commit, spaced_seed.cpp:424-439)
         diag = np.where(forward, r_offset - j, r_offset + j)
-        key = (read_rep << 28) | ((diag + (1 << 25)) << 1) | forward
+        # int64 key layout: read (28 bits) | diag + 2^33 (34 bits) | fwd —
+        # supports references to 8.6 Gb and 268M reads without collision
+        key = (read_rep << 35) | ((diag + (1 << 33)) << 1) | forward
         _, first = np.unique(key, return_index=True)
         keep = np.sort(first)
         read_rep, j, forward = read_rep[keep], j[keep], forward[keep]
         r_offset, rank = r_offset[keep], rank[keep]
 
+    expand_candidates.phase_s["expand_rest_s"] = round(
+        _time.perf_counter() - t1, 4
+    )
     return CandidateBatch(read_rep, j, forward, r_offset, rank), dropped
 
 
@@ -435,6 +448,11 @@ class BatchAssembler:
         cfg = self.cfg
         self.prefilter_kept = -1  # -1 = pass not run (set before ANY return)
         accept = np.zeros(len(cands), dtype=bool)
+        # per-candidate goal cells from screening (the traceback walk
+        # starts from these — align/tbwave.py's division of labor)
+        self._scr_ma = np.zeros(len(cands), dtype=np.int64)
+        self._scr_mb = np.zeros(len(cands), dtype=np.int64)
+        self.screen_phase_s = {"prefilter_s": 0.0, "fullscreen_s": 0.0, "fullscreen_n": 0}
         if len(cands) == 0:
             self._seg_len = self._ref_len = np.zeros(0, np.int64)
             return accept
@@ -455,6 +473,9 @@ class BatchAssembler:
             int(seg_len[idxs_all[0]]), cfg.ratio
         )[0], f"segment length {int(seg_len[idxs_all[0]])} exceeds max bucket"
         fusable = self._fusable(len(idxs_all))
+        import time as _time
+
+        t_pf0 = _time.perf_counter()
         if (
             cfg.prefilter_len
             and fusable
@@ -463,6 +484,7 @@ class BatchAssembler:
             keep = self._prefilter(cands, ref_len)
             idxs_all = idxs_all[keep[idxs_all]]
             self.prefilter_kept = int(keep.sum())
+        self.screen_phase_s = {"prefilter_s": round(_time.perf_counter() - t_pf0, 4)}
         for lo in range(0, len(idxs_all), SCREEN_CHUNK):
             idxs = idxs_all[lo : lo + SCREEN_CHUNK]
             LB, LA, W = size_bucket(int(seg_len[idxs[0]]), cfg.ratio)
@@ -482,6 +504,7 @@ class BatchAssembler:
                 acc = packed[:, 0] != 0
                 ma = packed[:, 1]
                 rows_all = packed[:, 2]
+                mb = packed[:, 3]
             else:
                 dev = self._device_batch(cands, idxs, ref_len, LB, LA)
                 if dev is not None:
@@ -494,8 +517,11 @@ class BatchAssembler:
                 acc = np.asarray(res.accept)
                 ma = np.asarray(res.matlen_a)
                 rows_all = np.asarray(res.dp_rows)
+                mb = np.asarray(res.matlen_b)
             ok = acc & (ma >= cfg.overlap_min)
             accept[idxs] = ok[: len(idxs)]
+            self._scr_ma[idxs] = ma[: len(idxs)]
+            self._scr_mb[idxs] = mb[: len(idxs)]
             # per-pair reference-equivalent cells: rows x (2*max_dst + 1)
             # with the pair's own band (not the bucket's W) so the count is
             # comparable with the exact engine and bench.py (seq_aligner.h:
@@ -505,6 +531,10 @@ class BatchAssembler:
             lb_used = seg_len[idxs].astype(np.float64)
             md = 1 + np.floor(np.minimum(la_used, lb_used) * cfg.ratio).astype(np.int64)
             self.dp_cells_total += int((rows * (2 * md + 1)).sum())
+        self.screen_phase_s["fullscreen_s"] = round(
+            _time.perf_counter() - t_pf0 - self.screen_phase_s["prefilter_s"], 4
+        )
+        self.screen_phase_s["fullscreen_n"] = int(len(idxs_all))
         return accept
 
     # ------------------------------------------------------------ phase B
@@ -533,12 +563,6 @@ class BatchAssembler:
         seg_len, ref_len = self._seg_len, self._ref_len
         chosen = {ridx: ns[0] for ridx, ns in by_read.items()}
 
-        # interior eligibility in float64 (same max_dst rule as the DP)
-        def interior(n):
-            sl, rl = int(seg_len[n]), int(ref_len[n])
-            md = 1 + int(min(sl, rl) * self.cfg.ratio)
-            return rl > sl + md
-
         import time as _time
 
         t_tb0 = _time.perf_counter()
@@ -548,7 +572,7 @@ class BatchAssembler:
         # ref.locked (reads are still consumed on success) — the device
         # traceback path exists only to vote, which locked forbids
         if self.cfg.device_traceback and not self.ref.locked:
-            eligible = [n for n in chosen.values() if interior(n)]
+            eligible = list(chosen.values())
             if eligible:
                 tb = self._traceback_batch(cands, eligible, seg_len, ref_len)
         t_tb1 = _time.perf_counter()
@@ -565,7 +589,14 @@ class BatchAssembler:
             codes = self.reads.codes(i)
             n0 = chosen[ridx]
             done = False
-            if n0 in tb:
+            # device-commit any alignment that did NOT consume the reference
+            # to its end (matlen_a < full accessor length): no growth is
+            # possible, so its votes are the same commutative tensor update
+            # try_align would make. Alignments that reached the end (growth,
+            # ref_seq.h:268-275) — and tb-miss fallbacks — take the exact
+            # sequential path vs the CURRENT (possibly mid-phase-grown)
+            # reference below.
+            if n0 in tb and tb[n0][2] < int(ref_len[n0]):
                 ops, vals, matlen_a, matlen_b = tb[n0]
                 cj = int(cands.j[n0])
                 fwd = bool(cands.forward[n0])
@@ -713,13 +744,14 @@ class BatchAssembler:
         {candidate index: (ops, vals, matlen_a, matlen_b)} for those whose
         traceback accepted (it reruns the identical DP, so it always agrees
         with screening; the dict-miss fallback is the host path)."""
-        from ..align.screen import pad_batch
+        from ..align.screen import pad_batch, screening_backend
         from ..align.traceback import batch_align_traceback
 
         cfg = self.cfg
         LB, LA, W = size_bucket(int(max(seg_len[n] for n in idxs)), cfg.ratio)
         out = {}
         CHUNK = 32
+        backend = screening_backend()
         for lo in range(0, len(idxs), CHUNK):
             part = idxs[lo : lo + CHUNK]
             # bound the scanned rows by this chunk's real max length (the
@@ -731,6 +763,34 @@ class BatchAssembler:
             # materialize the chunk on device (same gather path as
             # screening); pad the last chunk to CHUNK so the jitted
             # traceback sees one static batch shape per size bucket
+            if self._fusable(len(part)) and backend in ("bitpallas", "pallas"):
+                # Pallas parent kernel + device walk, started from the
+                # screening pass's goal cells (align/tbwave.py) — the XLA
+                # rows-scan below is ~7x slower at scale (PERF_NOTES)
+                vecs = self._device_vectors(cands, part, ref_len, LA, CHUNK)
+                ma_p = np.zeros(CHUNK, np.int32)
+                mb_p = np.zeros(CHUNK, np.int32)
+                acc_p = np.zeros(CHUNK, bool)
+                sel = np.asarray(part, dtype=np.int64)
+                ma_p[: len(part)] = self._scr_ma[sel]
+                mb_p[: len(part)] = self._scr_mb[sel]
+                acc_p[: len(part)] = True
+                rows_pk = -(-rows // 128) * 128
+                E = rows_pk + W + 2 + 32
+                ov, ne = self._builder().traceback_parents(
+                    self.ref, *vecs, ma_p, mb_p, acc_p,
+                    LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
+                    rows_max=rows_pk, e_max=E,
+                )
+                ops, vals = ov[:, :E], ov[:, E:]
+                for bi, n in enumerate(part):
+                    out[n] = (
+                        ops[bi, : ne[bi]],
+                        vals[bi, : ne[bi]],
+                        int(ma_p[bi]),
+                        int(mb_p[bi]),
+                    )
+                continue
             if self._fusable(len(part)):
                 vecs = self._device_vectors(cands, part, ref_len, LA, CHUNK)
                 scal, ov = self._builder().traceback(
@@ -801,6 +861,8 @@ class BatchAssembler:
             "evolve_s": round(t5 - t4, 4),
             "retreats": self.retreats,
             "prefilter_kept": getattr(self, "prefilter_kept", -1),
+            **getattr(expand_candidates, "phase_s", {}),
+            **getattr(self, "screen_phase_s", {}),
             **getattr(self, "commit_phase_s", {}),
         }
 

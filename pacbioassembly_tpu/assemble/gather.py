@@ -102,7 +102,8 @@ def _mat_score(
 
         res = batch_score(a, la2, b, lb, la_max=LA, w_max=w_max, ratio=ratio)
     return jnp.stack(
-        [res.accept.astype(jnp.int32), res.matlen_a, res.dp_rows], axis=1
+        [res.accept.astype(jnp.int32), res.matlen_a, res.dp_rows, res.matlen_b],
+        axis=1,
     )
 
 
@@ -133,6 +134,32 @@ def _mat_traceback(
         axis=1,
     )
     return scal, jnp.concatenate([res.ops, res.vals], axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("LA", "LB", "w_max", "ratio", "rows_max", "e_max"),
+)
+def _mat_parents(
+    ref_win, reads_mat, read_len, read_row, j, fwd, prel, la, ma, mb, acc,
+    *, LA, LB, w_max, ratio, rows_max, e_max,
+):
+    """Fused materialize + Pallas parent emission + device walk: one
+    dispatch, two fetches ((B, 2E) uint8 ops|vals and (B,) nedit). The goal
+    cells (ma, mb, acc) come from the screening pass — bit-identical
+    decisions, so no goal/threshold logic runs here (align/tbwave.py)."""
+    from ..align.tbwave import batch_parents_pallas, walk_parents
+
+    a, la2, b, lb = _gather_batch(
+        ref_win, reads_mat, read_len, read_row, j, fwd, prel, la, LA, LB
+    )
+    parents, md, lb_dp = batch_parents_pallas(
+        a, la2, b, lb, la_max=LA, w_max=w_max, ratio=ratio, rows_max=rows_max
+    )
+    ops, vals, nedit = walk_parents(
+        parents, b, lb_dp, md, ma, mb, acc, w_max=w_max, e_max=e_max
+    )
+    return jnp.concatenate([ops, vals], axis=1), nedit
 
 
 class DeviceBatchBuilder:
@@ -203,6 +230,27 @@ class DeviceBatchBuilder:
             LA=LA, LB=LB, w_max=w_max, ratio=ratio, backend=backend,
         )
         return np.asarray(packed)
+
+    def traceback_parents(
+        self, ref, read_row, j, fwd, prel, la, ma, mb, acc,
+        *, LA, LB, w_max, ratio, rows_max, e_max,
+    ):
+        """Fused materialize + Pallas parent kernel + walk; returns host
+        ((B, 2E) uint8 ops|vals, (B,) int32 nedit)."""
+        ov, ne = _mat_parents(
+            self.window(ref), self.reads_mat, self.read_len,
+            jnp.asarray(read_row, dtype=jnp.int32),
+            jnp.asarray(j, dtype=jnp.int32),
+            jnp.asarray(fwd, dtype=bool),
+            jnp.asarray(prel, dtype=jnp.int32),
+            jnp.asarray(la, dtype=jnp.int32),
+            jnp.asarray(ma, dtype=jnp.int32),
+            jnp.asarray(mb, dtype=jnp.int32),
+            jnp.asarray(acc, dtype=bool),
+            LA=LA, LB=LB, w_max=w_max, ratio=ratio,
+            rows_max=rows_max, e_max=e_max,
+        )
+        return np.asarray(ov), np.asarray(ne)
 
     def traceback(self, ref, read_row, j, fwd, prel, la, *, LA, LB, w_max, ratio, rows_max):
         """Fused materialize+traceback; returns host ((B, 4) int32
