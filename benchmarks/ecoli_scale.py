@@ -54,6 +54,11 @@ def main() -> int:
     ap.add_argument("--edge-retreat", type=int, default=0,
                     help="stall-recovery budget (trim single-read edge "
                          "fringe and keep going instead of terminating)")
+    ap.add_argument("--retreat-bite", type=int, default=0,
+                    help="escalation: cells to cut per edge when a stall's "
+                         "weak-fringe trim removes nothing (0 = off)")
+    ap.add_argument("--max-trial", type=int, default=32,
+                    help="seeding trials per read per direction (-t)")
     ap.add_argument("--rng-seed", type=int, default=7)
     args = ap.parse_args()
 
@@ -107,6 +112,8 @@ def main() -> int:
         pattern_schedule="random",
         dedupe_diagonals=not args.no_dedupe,
         edge_retreat=args.edge_retreat,
+        edge_retreat_bite=args.retreat_bite,
+        max_trial=args.max_trial,
         max_seq_len=args.genome_len + 500_000,
         metrics_path=os.path.join(args.out, "metrics.jsonl"),
         checkpoint_path=os.path.join(args.out, "ck.npz"),

@@ -925,6 +925,12 @@ class BatchAssembler:
                         cfg.edge_retreat_min_total,
                         keep_min=cfg.overlap_min,
                     )
+                    if trimmed == 0 and cfg.edge_retreat_bite:
+                        # escalation: no weak fringe left but still stalled
+                        # (see AssemblyConfig.edge_retreat_bite)
+                        trimmed = self.ref.retreat_fixed(
+                            cfg.edge_retreat_bite, keep_min=cfg.overlap_min
+                        )
                 if trimmed == 0:
                     stop = True
                 else:

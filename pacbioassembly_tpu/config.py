@@ -126,6 +126,13 @@ class AssemblyConfig:
     # can re-extend the edge with fresh errors. 0 = reference behavior.
     edge_retreat: int = 0
     edge_retreat_min_total: int = 2
+    # escalation: when a stall's weak-fringe trim removes nothing (the edge
+    # is multi-read-supported but still unmatchable — r3's first CLR run
+    # terminated at 96.8 kb with 63/64 retreats unused this way), trim this
+    # many cells off each end instead so different reads must re-extend.
+    # 0 disables the escalation (retreat stops at the reference-plus-fringe
+    # behavior).
+    edge_retreat_bite: int = 0
 
     # capacity: max consensus length (reference MAX_SEQ_LEN, common.h:31);
     # unlike the reference's compile-time cap this is a runtime knob, so

@@ -280,6 +280,24 @@ class ConsensusRef:
         self.version += 1
         return kl + kr
 
+    def retreat_fixed(self, n: int, keep_min: int = 64) -> int:
+        """Trim a FIXED n cells off each end of the consensus (stall-recovery
+        escalation beyond retreat_edges: once the single-read fringe is
+        gone, a stalled edge can still carry a multi-read consensus that no
+        remaining read seeds against — e.g. two erroneous tails that agreed
+        by chance. Cutting a fixed span forces a different read to re-extend
+        it). Returns cells cut; no-op when locked or too short."""
+        if self.locked:
+            return 0
+        lo, hi = min(self.pre, self.beg), max(self.post, self.end)
+        cut = min(n, (hi - lo - keep_min) // 2)
+        if cut <= 0:
+            return 0
+        self.pre = self.beg = lo + cut
+        self.end = self.post = hi - cut
+        self.version += 1
+        return 2 * cut
+
     # ------------------------------------------------------------------ misc
 
     def state_dict(self) -> dict:

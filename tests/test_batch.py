@@ -408,6 +408,28 @@ def test_edge_retreat_recovers_from_stall(tmp_path):
     assert best_rec >= best_base
 
 
+def test_retreat_fixed_bite():
+    """retreat_fixed: the fixed-span stall escalation (r3 — the first CLR
+    run terminated with its whole retreat budget unused because the stalled
+    edge had multi-read support; ConsensusRef.retreat_fixed docstring)."""
+    from pacbioassembly_tpu.consensus import ConsensusRef
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 1000).astype(np.uint8)
+    ref = ConsensusRef(codes, capacity=9000)
+    ref.total[ref.beg : ref.end] = 5  # well-supported everywhere
+    assert ref.retreat_edges(min_total=2) == 0  # nothing weak to trim
+    assert ref.retreat_fixed(100, keep_min=64) == 200
+    assert ref.length() == 800
+    # keep_min guard: cannot cut below the minimum useful consensus
+    assert ref.retreat_fixed(600, keep_min=700) == 100  # 2 * (800-700)//2
+    assert ref.length() == 700
+    assert ref.retreat_fixed(600, keep_min=700) == 0
+    # locked reference never retreats
+    ref.locked = True
+    assert ref.retreat_fixed(10) == 0
+
+
 def test_prefilter_truncated_scoring_and_no_lost_accepts(monkeypatch, tmp_path):
     """Screening prefilter (AssemblyConfig.prefilter_len): (a) the device
     truncated-window scoring (gather.py lb-clamp) matches the host scorer
