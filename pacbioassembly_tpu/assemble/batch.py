@@ -763,7 +763,10 @@ class BatchAssembler:
             # materialize the chunk on device (same gather path as
             # screening); pad the last chunk to CHUNK so the jitted
             # traceback sees one static batch shape per size bucket
-            if self._fusable(len(part)) and backend in ("bitpallas", "pallas"):
+            tb_interp = getattr(self, "_tb_pallas_interpret", False)  # tests
+            if self._fusable(len(part)) and (
+                backend in ("bitpallas", "pallas") or tb_interp
+            ):
                 # Pallas parent kernel + device walk, started from the
                 # screening pass's goal cells (align/tbwave.py) — the XLA
                 # rows-scan below is ~7x slower at scale (PERF_NOTES)
@@ -780,7 +783,7 @@ class BatchAssembler:
                 ov, ne = self._builder().traceback_parents(
                     self.ref, *vecs, ma_p, mb_p, acc_p,
                     LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
-                    rows_max=rows_pk, e_max=E,
+                    rows_max=rows_pk, e_max=E, interpret=tb_interp,
                 )
                 ops, vals = ov[:, :E], ov[:, E:]
                 for bi, n in enumerate(part):

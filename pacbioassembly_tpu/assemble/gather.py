@@ -138,11 +138,11 @@ def _mat_traceback(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("LA", "LB", "w_max", "ratio", "rows_max", "e_max"),
+    static_argnames=("LA", "LB", "w_max", "ratio", "rows_max", "e_max", "interpret"),
 )
 def _mat_parents(
     ref_win, reads_mat, read_len, read_row, j, fwd, prel, la, ma, mb, acc,
-    *, LA, LB, w_max, ratio, rows_max, e_max,
+    *, LA, LB, w_max, ratio, rows_max, e_max, interpret=False,
 ):
     """Fused materialize + Pallas parent emission + device walk: one
     dispatch, two fetches ((B, 2E) uint8 ops|vals and (B,) nedit). The goal
@@ -154,7 +154,8 @@ def _mat_parents(
         ref_win, reads_mat, read_len, read_row, j, fwd, prel, la, LA, LB
     )
     parents, md, lb_dp = batch_parents_pallas(
-        a, la2, b, lb, la_max=LA, w_max=w_max, ratio=ratio, rows_max=rows_max
+        a, la2, b, lb, la_max=LA, w_max=w_max, ratio=ratio, rows_max=rows_max,
+        interpret=interpret,
     )
     ops, vals, nedit = walk_parents(
         parents, b, lb_dp, md, ma, mb, acc, w_max=w_max, e_max=e_max
@@ -233,7 +234,7 @@ class DeviceBatchBuilder:
 
     def traceback_parents(
         self, ref, read_row, j, fwd, prel, la, ma, mb, acc,
-        *, LA, LB, w_max, ratio, rows_max, e_max,
+        *, LA, LB, w_max, ratio, rows_max, e_max, interpret=False,
     ):
         """Fused materialize + Pallas parent kernel + walk; returns host
         ((B, 2E) uint8 ops|vals, (B,) int32 nedit)."""
@@ -248,7 +249,7 @@ class DeviceBatchBuilder:
             jnp.asarray(mb, dtype=jnp.int32),
             jnp.asarray(acc, dtype=bool),
             LA=LA, LB=LB, w_max=w_max, ratio=ratio,
-            rows_max=rows_max, e_max=e_max,
+            rows_max=rows_max, e_max=e_max, interpret=interpret,
         )
         return np.asarray(ov), np.asarray(ne)
 

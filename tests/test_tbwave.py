@@ -52,6 +52,56 @@ def test_tbwave_edits_match_traceback():
     assert n_acc >= 5, "fixture must include accepted alignments"
 
 
+def test_tbwave_batch_engine_integration(monkeypatch, tmp_path):
+    """The batch engine's Pallas-traceback commit path (screen goal cells ->
+    tbwave parents -> device walk -> _apply_interior_votes) must produce
+    the IDENTICAL consensus to the default XLA-traceback path. On real TPU
+    this is the production route; here it runs in interpret mode via the
+    engine's test hook."""
+    import io
+    import jax
+
+    from pacbioassembly_tpu.assemble import ReadStore
+    from pacbioassembly_tpu.assemble.batch import BatchAssembler
+    from pacbioassembly_tpu.codec import binary_io, dna
+    from pacbioassembly_tpu.config import AssemblyConfig
+    from pacbioassembly_tpu.tools.simulate import SimConfig, simulate
+
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+
+    sim = SimConfig(
+        genome_len=12_000, coverage=12.0, mean_read_len=900,
+        min_read_len=600, max_read_len=1500,
+        sub_rate=0.03, ins_rate=0.03, del_rate=0.03, seed=8,
+    )
+    _, read_list, _ = simulate(sim)
+    binfile = tmp_path / "tb.bin"
+    with open(binfile, "wb") as fh:
+        binary_io.write_records(fh, read_list)
+    cfg = AssemblyConfig(
+        engine="batch", rng_seed=4, pattern_schedule="roundrobin", max_round=6
+    )
+    patterns = [dna.parse_pattern("1111111111111111")]
+
+    def run(force_tbwave):
+        reads = ReadStore.from_file(str(binfile), cfg)
+        asm = BatchAssembler(cfg, reads, patterns)
+        if force_tbwave:
+            asm._tb_pallas_interpret = True
+        asm.run(out=io.StringIO(), log=None)
+        return asm
+
+    a1 = run(False)
+    a2 = run(True)
+    assert a1.ref.length() > 2000
+    np.testing.assert_array_equal(a1.ref.text(), a2.ref.text())
+    np.testing.assert_array_equal(
+        a1.ref.sel[a1.ref.beg : a1.ref.end], a2.ref.sel[a2.ref.beg : a2.ref.end]
+    )
+    assert a1.surviving == a2.surviving
+
+
 def test_tbwave_multi_rowblock_and_refresh():
     """Cases long enough to cross several 16-row blocks AND a 128-row
     window refresh, with mixed lengths in one batch."""
