@@ -169,18 +169,35 @@ def main() -> int:
         with open(cfg.metrics_path) as fh:
             for line in fh:
                 r = json.loads(line)
-                if r.get("event") == "round":
+                if r.get("event") in ("round", "run_start"):
                     rows.append(r)
+        # the metrics file is append-mode: a reused --out dir may carry
+        # rows from an earlier, unrelated experiment. Count only from the
+        # last NON-resume run_start marker (the engines emit one per
+        # process); files predating the marker fall back to counting
+        # everything with the t-reset heuristic below.
+        fresh = [
+            i for i, r in enumerate(rows)
+            if r.get("event") == "run_start" and not r.get("resume")
+        ]
+        if fresh:
+            rows = rows[fresh[-1]:]
         seg_max, last_t, w = 0.0, None, 0.0
         per_round = {}
         for r in rows:
             t = float(r["t"])
-            if last_t is not None and t < last_t:
+            # a run_start marker is a definitive process boundary (robust
+            # even when the resumed process outlasts the killed one, which
+            # the t-decrease heuristic alone would miss)
+            if r.get("event") == "run_start" or (
+                last_t is not None and t < last_t
+            ):
                 w += seg_max
                 seg_max = 0.0
             seg_max = max(seg_max, t)
             last_t = t
-            per_round[int(r["nround"])] = int(r.get("dp_cells", 0))
+            if r.get("event") == "round":
+                per_round[int(r["nround"])] = int(r.get("dp_cells", 0))
         w += seg_max
         if w > wall:
             wall_cum = w

@@ -163,6 +163,10 @@ def expand_candidates(
     the reference tries every candidate in a bucket (spaced_seed.cpp:
     282-296), so a nonzero value signals a repetitive reference where
     the cap is losing discoverable overlaps."""
+    # timings are stashed on the function object and copied into the
+    # assembler's round stats immediately after the call (single-threaded;
+    # both keys always present so metrics rows have a stable schema)
+    expand_candidates.phase_s = {"lookup_s": 0.0, "expand_rest_s": 0.0}
     if not surviving:
         return CandidateBatch.empty(), 0
     import time as _time
@@ -177,7 +181,7 @@ def expand_candidates(
     lo = lo.reshape(seeds.shape)
     dropped = int(np.maximum(cnt - cap, 0).sum())
     t1 = _time.perf_counter()
-    expand_candidates.phase_s = {"lookup_s": round(t1 - t0, 4)}
+    expand_candidates.phase_s["lookup_s"] = round(t1 - t0, 4)
 
     rows, cols = np.nonzero(cnt)  # row-major == read asc, trial-priority asc
     if len(rows) == 0:
@@ -542,16 +546,30 @@ class BatchAssembler:
     def commit(self, cands: CandidateBatch, accept: np.ndarray) -> int:
         """Commit each read's first accepted candidate, in read order.
 
-        Interior alignments (the DP cannot reach the reference boundary:
-        ref_len > seg_len + max_dst, so growth is impossible and mid-phase
-        growth cannot change the DP) vote from the device traceback pass,
-        with ALL their edit streams applied in one merged device elect
-        (psum across the dp mesh when multiple devices are present —
+        Every alignment whose ROUND-START DP did not consume the reference
+        to its end (matlen_a < ref_len) votes from the device traceback
+        pass, with ALL their edit streams applied in one merged device
+        elect (psum across the dp mesh when multiple devices are present —
         the production form of ref_seq.h:352-362 per SURVEY §2.4; votes
         are commutative integer sums, so the merged result equals the
-        sequential walk). Boundary-capable alignments go through the
-        exact sequential try_align (votes + growth vs the CURRENT
-        reference). Returns the number of consumed reads."""
+        sequential walk). Growth is never lost by this split: appending
+        g cells moves the end g rows farther, so a round-start
+        non-consumer (ma < ref_len) can only be farther from consuming
+        the GROWN reference — it could never have appended/prepended.
+        Only actual growers (ma == ref_len, append/prepend per
+        ref_seq.h:268-275) and tb-miss fallbacks take the exact
+        sequential try_align vs the CURRENT mid-phase reference.
+
+        Known, deliberate deviation from a fully sequential walk: a
+        non-consumer whose band could see the round-start boundary
+        (ref_len <= seg_len + max_dst) votes from the round-start DP even
+        if an earlier read in this round's commit order grew that end —
+        the sequential walk would align it against the extra rows and
+        could pick a different goal cell. This is the batch engine's
+        round-start-snapshot semantics (SURVEY §7 "redefine round
+        semantics"), the same premise that makes the vote merge
+        commutative; device-committed votes always land inside the
+        round-start window. Returns the number of consumed reads."""
         self.commit_phase_s = {"tb_s": 0.0, "host_commit_s": 0.0, "elect_s": 0.0}
         acc_idx = np.nonzero(accept)[0]
         if len(acc_idx) == 0:
@@ -572,7 +590,14 @@ class BatchAssembler:
         # ref.locked (reads are still consumed on success) — the device
         # traceback path exists only to vote, which locked forbids
         if self.cfg.device_traceback and not self.ref.locked:
-            eligible = list(chosen.values())
+            # growers (screening ma == ref_len) are decided by the
+            # round-start goal cell already recorded by screen(); skip
+            # them here so they don't pay a traceback-kernel slot only to
+            # be re-DP'd by the sequential host path below
+            eligible = [
+                n for n in chosen.values()
+                if self._scr_ma[n] < int(ref_len[n])
+            ]
             if eligible:
                 tb = self._traceback_batch(cands, eligible, seg_len, ref_len)
         t_tb1 = _time.perf_counter()
@@ -864,7 +889,7 @@ class BatchAssembler:
             "evolve_s": round(t5 - t4, 4),
             "retreats": self.retreats,
             "prefilter_kept": getattr(self, "prefilter_kept", -1),
-            **getattr(expand_candidates, "phase_s", {}),
+            **dict(getattr(expand_candidates, "phase_s", {})),
             **getattr(self, "screen_phase_s", {}),
             **getattr(self, "commit_phase_s", {}),
         }
@@ -890,6 +915,10 @@ class BatchAssembler:
             from ..utils import MetricsLogger
 
             metrics = MetricsLogger(path=cfg.metrics_path)
+            # segment marker: the metrics file is append-mode, so offline
+            # consumers (benchmarks/ecoli_scale.py cumulative accounting)
+            # need an explicit process/run boundary
+            metrics.event("run_start", resume=bool(cfg.resume_path))
         if cfg.resume_path:
             from .checkpoint import load_checkpoint
 

@@ -245,6 +245,7 @@ class Assembler:
             from ..utils import MetricsLogger
 
             metrics = MetricsLogger(path=cfg.metrics_path)
+            metrics.event("run_start", resume=bool(cfg.resume_path))
         if cfg.resume_path:
             from .checkpoint import load_checkpoint
 

@@ -559,7 +559,6 @@ def test_prefilter_no_lost_accepts_high_error(monkeypatch, tmp_path):
 
     # candidate set across every pattern so worst-case (15%-read vs
     # 15%-edge) geometries are represented
-    accept_pairs = []
     n_total = n_acc = 0
     for pattern in patterns:
         index, _ = build_seedmap(asm.ref.text(), pattern)
@@ -576,6 +575,5 @@ def test_prefilter_no_lost_accepts_high_error(monkeypatch, tmp_path):
         np.testing.assert_array_equal(acc_on, acc_off)
         n_total += len(cands)
         n_acc += int(acc_off.sum())
-        accept_pairs.append((acc_on, acc_off))
     assert n_total >= 200, f"fixture too small ({n_total} candidates)"
     assert n_acc >= 3, "fixture must contain real 15%-error overlaps"

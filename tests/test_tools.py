@@ -118,10 +118,12 @@ def test_metrics_jsonl(tmp_path):
     asm = Assembler(cfg, ReadStore.from_file(os.path.join(DATA, "synth_reads.bin"), cfg), load_patterns(os.path.join(DATA, "oneseed_spaced.txt")))
     asm.run(out=io.StringIO(), log=None)
     recs = [json.loads(l) for l in open(mpath)]
-    assert len(recs) == 2
-    assert recs[0]["event"] == "round"
-    assert recs[0]["nmatches"] == 45
-    assert "dp_cells_per_s" in recs[0]
+    assert len(recs) == 3
+    assert recs[0]["event"] == "run_start"
+    assert recs[0]["resume"] is False
+    assert recs[1]["event"] == "round"
+    assert recs[1]["nmatches"] == 45
+    assert "dp_cells_per_s" in recs[1]
 
 
 def test_multi_contig_cli(tmp_path, capsys):
