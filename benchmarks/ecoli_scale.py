@@ -164,6 +164,7 @@ def main() -> int:
     # replayed post-checkpoint round isn't double-counted) so a run that
     # was killed and resume-finalized still reports honest reads/s.
     wall_cum, dp_cells_cum = wall, dp_cells
+    steady = None
     try:
         rows = []
         with open(cfg.metrics_path) as fh:
@@ -203,6 +204,25 @@ def main() -> int:
             wall_cum = w
         if args.contigs == 1:
             dp_cells_cum = max(dp_cells, sum(per_round.values()))
+        # steady-state throughput: the whole-run number amortizes the
+        # per-process Mosaic compile warmup (the axon remote-compile path
+        # does not hit jax's persistent cache across processes; 10-30 s
+        # per first-seen size bucket) over the run. Report the second
+        # half of the rounds separately so engine speed and one-time
+        # compile cost are distinguishable.
+        rr = [r for r in rows if r.get("event") == "round"]
+        half = rr[len(rr) // 2:]
+        if half:
+            sw = sum(float(r["round_s"]) for r in half)
+            sc = sum(int(r.get("nmatches", 0)) for r in half)
+            if sw > 0:
+                steady = {
+                    "rounds": len(half),
+                    "reads_per_s": round(sc / sw, 2),
+                    "round_s_p50": round(
+                        sorted(float(r["round_s"]) for r in half)[len(half) // 2], 2
+                    ),
+                }
     except (OSError, ValueError, KeyError):
         pass
 
@@ -239,6 +259,7 @@ def main() -> int:
         "contig_lens": [int(x) for x in contig_lens],
         "residual_error": quality["residual_error"],
         "quality": quality,
+        "steady_state": steady,
         "wall_s": round(wall_cum, 1),
         "wall_s_this_process": round(wall, 1),
         "setup_s": round(setup_s, 1),
