@@ -92,6 +92,22 @@ def test_bitwave_reject_heavy_and_ratio015():
     check(cases3, 400, 300, 60, ratio=0.15, min_accept=6)
 
 
+def test_bitwave_maskless_kogge_stone_parity(monkeypatch):
+    """PBTPU_BITWAVE_KSMASK=0 drops the provably-redundant wrap masks in
+    the carry prefix (an op-count experiment, see benchmarks/ks_ablation.py);
+    the maskless kernel must still match the numpy root bit for bit."""
+    from pacbioassembly_tpu.align import bitwave
+
+    batch_score_bitpallas.clear_cache()
+    monkeypatch.setattr(bitwave, "_KSMASK", False)
+    try:
+        rng = np.random.default_rng(21)
+        cases = make_cases(rng, 24, max_len=48)
+        check(cases, 56, 56, 20, min_accept=5)
+    finally:
+        batch_score_bitpallas.clear_cache()
+
+
 def test_bitwave_band_overflow_rejected():
     """Pairs whose max_dst exceeds the static w_max are rejected."""
     rng = np.random.default_rng(5)
