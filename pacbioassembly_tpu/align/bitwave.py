@@ -72,7 +72,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Constants
-from .scan import BatchScores, _threshold_tables
+from .scan import BatchScores, _threshold_tables, static_shift_edge
 
 INF32 = np.int32(1 << 28)
 CHUNK = 128
@@ -425,12 +425,12 @@ def batch_score_bitpallas(
     ka = jnp.pad(ka_raw, ((0, 0), (1, 0)))
     kb = jnp.where(swap[:, None], to_width(a, KB), to_width(b, KB))
 
-    # PEQ: bit t of letter c = (kb[t - cen - 1] == c), rows in [0, klenb)
+    # PEQ: bit t of letter c = (kb[t - cen - 1] == c), rows in [0, klenb).
+    # The shift is static, so it's edge-padding, not a gather (the gather
+    # form cost ~6 s/round at 65k-candidate prefilter launches).
     t_idx = jnp.arange(PBL * 32, dtype=jnp.int32)
     src = t_idx - cen - 1
-    bch = jnp.take_along_axis(
-        kb, jnp.broadcast_to(jnp.clip(src, 0, KB - 1)[None, :], (B0, PBL * 32)), axis=1
-    )
+    bch = static_shift_edge(kb, cen + 1, PBL * 32)
     in_rng = (src[None, :] >= 0) & (src[None, :] < klenb[:, None])
     weights = (U32(1) << jnp.arange(32, dtype=U32))[None, None, :]
     peq = jnp.stack(
@@ -559,13 +559,20 @@ def batch_score_bitpallas(
     E = w_max + 1
     e_arr = jnp.arange(E, dtype=jnp.int32)
     q = cen + e_arr - 1
-    widx = jnp.broadcast_to((q >> 5)[None, :], (B0, E))
-    vp_b = (
-        (jnp.take_along_axis(fVP, widx, axis=1) >> (q & 31)[None, :].astype(U32)) & 1
-    ).astype(jnp.int32)
-    vn_b = (
-        (jnp.take_along_axis(fVN, widx, axis=1) >> (q & 31)[None, :].astype(U32)) & 1
-    ).astype(jnp.int32)
+    # bit q of the final-column words, for q in a static range: expand every
+    # needed word to its 32 bits (repeat + static per-lane shift) and slice —
+    # the take_along_axis form is a real TPU gather, linear in B*E
+    wlo = (cen - 1) >> 5
+    nw = ((cen + E - 2) >> 5) - wlo + 1
+    bit_sh = (jnp.arange(nw * 32, dtype=U32) & U32(31))[None, :]
+    off = (cen - 1) - wlo * 32
+
+    def _bits(fW):
+        rep = jnp.repeat(fW[:, wlo : wlo + nw], 32, axis=1)
+        return ((rep >> bit_sh) & U32(1)).astype(jnp.int32)[:, off : off + E]
+
+    vp_b = _bits(fVP)
+    vn_b = _bits(fVN)
     deltas = jnp.where(e_arr[None, :] > 0, vp_b - vn_b, 0)
     vals = S_c[:, None] + jnp.cumsum(deltas, axis=1)
     valid_e = e_arr[None, :] <= (klenb - klena)[:, None]

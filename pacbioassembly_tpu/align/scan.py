@@ -56,6 +56,22 @@ def _threshold_tables(ratio: float, max_len: int):
     return early_thr, accept_min, band_tab
 
 
+def static_shift_edge(x: jax.Array, shift: int, width: int) -> jax.Array:
+    """y[:, t] = x[:, clip(t - shift, 0, x.shape[1]-1)] for t in [0, width).
+
+    The kernels' XLA prep needs b/kb re-based to window coordinates — a
+    shift by a STATIC amount with edge clamping. Spelling it as
+    take_along_axis(clip(iota - shift)) lowers to a real TPU gather
+    (per-element addressing, slow and linear in B*width); the identical
+    values are edge-mode padding plus a slice, which XLA emits as
+    broadcast+concat data movement. Callers mask the clamped regions.
+    """
+    assert shift >= 0, shift
+    Lx = x.shape[1]
+    y = jnp.pad(x, ((0, 0), (shift, max(0, width - Lx - shift))), mode="edge")
+    return y[:, :width]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm"),

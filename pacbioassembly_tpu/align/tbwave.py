@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Constants
-from .scan import _threshold_tables
+from .scan import _threshold_tables, static_shift_edge
 from .types import DELETE, INSERT, MATCH
 
 INF32 = np.int32(1 << 28)
@@ -216,9 +216,7 @@ def batch_parents_pallas(
     t_idx = jnp.arange(EXT, dtype=jnp.int32)[None, :]
     src = t_idx - w_max
     valid = (src >= 0) & (src < lb[:, None])
-    gathered = jnp.take_along_axis(
-        b, jnp.broadcast_to(jnp.clip(src, 0, LB - 1), (B0, EXT)), axis=1
-    )
+    gathered = static_shift_edge(b, w_max, EXT)  # static shift, not a gather
     b_ext = padb(jnp.where(valid, gathered, -1), -1)
 
     P = Bp // SL
