@@ -116,7 +116,59 @@ def bench_tpu(B=256, LB=2048, iters=8):
     rate = cells / best
     log(f"min {best*1000:.1f}ms / median {med*1000:.1f}ms per batch over "
         f"{iters} fresh batches; {rate/1e9:.2f} Gcells/s (reference-equivalent cells)")
-    return rate, batches[1]
+
+    split = {}
+    if use_pallas:
+        split = bench_stage_split(device_batches, cells, LA, W, ratio)
+    return rate, batches[1], split
+
+
+def bench_stage_split(device_batches, cells, LA, W, ratio):
+    """Separate the fused dispatch into prep-only and kernel-only timings
+    (VERDICT r3 item 4): how much of a batch's wall time is the XLA
+    prologue/epilogue vs the Pallas DP kernel itself. Kernel-only runs on
+    device-resident pre-packed inputs, so its rate is the kernel's
+    roofline position; full-dispatch rate is the production number."""
+    import jax
+
+    from pacbioassembly_tpu.align.bitwave import (
+        bitpallas_kernel_only,
+        bitpallas_prep_only,
+    )
+
+    def prep(db):
+        a, la, b, lb = db
+        inputs = bitpallas_prep_only(a, la, b, lb, la_max=LA, w_max=W, ratio=ratio)
+        jax.block_until_ready(inputs)
+        return inputs
+
+    B0, LB = device_batches[0][0].shape[0], device_batches[0][2].shape[1]
+    prepped = prep(device_batches[0])  # compile
+    _ = jax.block_until_ready(
+        bitpallas_kernel_only(prepped, B0=B0, LA=LA, LB=LB, la_max=LA, w_max=W)
+    )
+    tp, tk = [], []
+    prepped_all = []
+    for db in device_batches[1:]:
+        t = time.time()
+        prepped_all.append(prep(db))
+        tp.append(time.time() - t)
+    for ins in prepped_all:
+        t = time.time()
+        jax.block_until_ready(
+            bitpallas_kernel_only(ins, B0=B0, LA=LA, LB=LB, la_max=LA, w_max=W)
+        )
+        tk.append(time.time() - t)
+    prep_ms = float(np.min(tp)) * 1000
+    kern_ms = float(np.min(tk)) * 1000
+    kern_rate = cells / (kern_ms / 1000)
+    log(f"stage split: prep {prep_ms:.1f}ms, kernel-only {kern_ms:.1f}ms "
+        f"({kern_rate/1e9:.2f} Gcells/s kernel-only)")
+    return {
+        "prep_ms": round(prep_ms, 1),
+        "kernel_only_ms": round(kern_ms, 1),
+        "kernel_only_gcells_per_s": round(kern_rate / 1e9, 2),
+    }
 
 
 def bench_native_baseline(batch, max_pairs=8):
@@ -191,7 +243,7 @@ def bench_assembly_reads_per_s(genome_len=300_000, coverage=20.0, err=0.09,
 
 
 def main():
-    rate, batch = bench_tpu()
+    rate, batch, split = bench_tpu()
     base = bench_native_baseline(batch)
     try:
         reads_rate, consumed, asm = bench_assembly_reads_per_s()
@@ -210,6 +262,7 @@ def main():
                 "value": round(rate, 1),
                 "unit": "cells/s",
                 "vs_baseline": round(rate / base, 2),
+                **split,
                 **extra,
             }
         )

@@ -23,6 +23,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
@@ -47,6 +49,10 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/pbtpu_ecoli")
     ap.add_argument("--backend", default=None,
                     help="override PBTPU_SCREEN_BACKEND")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU jax backend (JAX_PLATFORMS is "
+                         "overridden by the axon plugin; only the in-process "
+                         "config update works — see tests/conftest.py)")
     ap.add_argument("--no-dedupe", action="store_true",
                     help="disable diagonal candidate dedupe")
     ap.add_argument("--resume", action="store_true",
@@ -57,6 +63,9 @@ def main() -> int:
     ap.add_argument("--retreat-bite", type=int, default=0,
                     help="escalation: cells to cut per edge when a stall's "
                          "weak-fringe trim removes nothing (0 = off)")
+    ap.add_argument("--retreat-min-len", type=int, default=0,
+                    help="skip retreats on contigs shorter than this "
+                         "(multi-contig junk-restart guard)")
     ap.add_argument("--max-trial", type=int, default=32,
                     help="seeding trials per read per direction (-t)")
     ap.add_argument("--rng-seed", type=int, default=7)
@@ -64,6 +73,10 @@ def main() -> int:
 
     if args.backend:
         os.environ["PBTPU_SCREEN_BACKEND"] = args.backend
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.out, exist_ok=True)
 
     from pacbioassembly_tpu.assemble import ReadStore
@@ -113,6 +126,7 @@ def main() -> int:
         dedupe_diagonals=not args.no_dedupe,
         edge_retreat=args.edge_retreat,
         edge_retreat_bite=args.retreat_bite,
+        edge_retreat_min_len=args.retreat_min_len,
         max_trial=args.max_trial,
         max_seq_len=args.genome_len + 500_000,
         metrics_path=os.path.join(args.out, "metrics.jsonl"),
@@ -130,15 +144,76 @@ def main() -> int:
 
     t1 = time.time()
     if args.contigs > 1:
-        from pacbioassembly_tpu.assemble.batch import assemble_contigs
+        # resumable per-contig loop (the library one-shot is
+        # assemble_contigs; this adds contig-granularity resume plus
+        # per-contig round checkpoints, because a multi-hour run behind
+        # the tunnel must survive a killed process): contig ci resumes
+        # from ck_ci.npz if present, completed contigs from wg_state.npz
+        import dataclasses
 
-        contig_results, surviving = assemble_contigs(
-            cfg, reads, patterns, args.contigs, log=sys.stderr
-        )
+        from pacbioassembly_tpu.assemble.batch import ContigResult
+
+        state_path = os.path.join(args.out, "wg_state.npz")
+        contig_results: list = []
+        surviving = None
+        cache = builder = None
+        ci0 = 0
+        if args.resume and os.path.exists(state_path):
+            st = np.load(state_path, allow_pickle=True)
+            for codes, nreads, nrounds in zip(
+                st["contigs"], st["nreads"], st["nrounds"]
+            ):
+                contig_results.append(
+                    ContigResult(np.asarray(codes, np.uint8), int(nreads), int(nrounds))
+                )
+            surviving = st["surviving"].astype(np.int64).tolist()
+            ci0 = len(contig_results)
+            log(f"resuming at contig {ci0} ({len(surviving)} reads left)")
+        for ci in range(ci0, args.contigs):
+            ck = os.path.join(args.out, f"ck_{ci}.npz")
+            c = dataclasses.replace(
+                cfg,
+                rng_seed=cfg.rng_seed + ci,
+                checkpoint_path=ck,
+                resume_path=ck if (args.resume and os.path.exists(ck)) else None,
+            )
+            asm = BatchAssembler(
+                c, reads, patterns,
+                surviving=surviving, trial_cache=cache, device_builder=builder,
+            )
+            if not asm.surviving:
+                break
+            before = len(asm.surviving)
+            asm.run(out=None, log=sys.stderr)
+            contig_results.append(ContigResult(
+                codes=asm.ref.text().copy(),
+                nreads=before - len(asm.surviving),
+                nrounds=asm.nround,
+            ))
+            log(f"=== contig {ci}: {len(contig_results[-1].codes)} bp from "
+                f"{contig_results[-1].nreads} reads in {asm.nround} rounds; "
+                f"{len(asm.surviving)} reads left")
+            surviving = asm.surviving
+            cache, builder = asm._trial_cache, asm._device_builder
+            del asm
+            np.savez(
+                state_path,
+                contigs=np.array(
+                    [c.codes for c in contig_results], dtype=object
+                ),
+                nreads=np.array([c.nreads for c in contig_results]),
+                nrounds=np.array([c.nrounds for c in contig_results]),
+                surviving=np.array(surviving, dtype=np.int64),
+            )
+            if os.path.exists(ck):
+                os.remove(ck)  # contig finalized; round checkpoint obsolete
+            if not surviving:
+                break
         wall = time.time() - t1
         contig_lens = sorted((len(c.codes) for c in contig_results), reverse=True)
         best = max(contig_results, key=lambda c: len(c.codes))
         best_codes = best.codes
+        surviving = surviving if surviving is not None else list(range(len(reads)))
         consumed = len(reads) - len(surviving)
         rounds = sum(c.nrounds for c in contig_results)
         retreats = -1  # per-assembler; not aggregated
@@ -182,7 +257,17 @@ def main() -> int:
             if r.get("event") == "run_start" and not r.get("resume")
         ]
         if fresh:
-            rows = rows[fresh[-1]:]
+            # multi-contig runs emit one run_start PER CONTIG in the same
+            # process (each restart resets the logger clock); count from
+            # the first marker of the last process, not the last marker
+            last_pid = rows[fresh[-1]].get("pid")
+            start = fresh[-1]
+            if last_pid is not None:
+                for i in fresh:
+                    if rows[i].get("pid") == last_pid:
+                        start = i
+                        break
+            rows = rows[start:]
         seg_max, last_t, w = 0.0, None, 0.0
         per_round = {}
         for r in rows:
@@ -243,6 +328,35 @@ def main() -> int:
     _, ccs_reads, _ = _simulate(ccs_sim, genome=genome)
     quality = residual_error(best_codes, patterns[0], ccs_reads, ratio=0.15)
 
+    # whole-assembly evaluation: genome fraction covered + N50/NG50 by
+    # unique-16-mer anchoring (tools/coverage.py), and the aggregate
+    # residual over every contig big enough to matter
+    from pacbioassembly_tpu.tools.coverage import evaluate_assembly
+
+    all_contigs = (
+        [c.codes for c in contig_results] if args.contigs > 1 else [best_codes]
+    )
+    log("evaluating genome coverage ...")
+    cov = evaluate_assembly(genome, all_contigs)
+    agg_cost, agg_len = 0, 0
+    per_contig_quality = []
+    for ci, codes in enumerate(all_contigs):
+        if len(all_contigs) > 1 and len(codes) >= 50_000:
+            log(f"  residual of contig {ci} ({len(codes)} bp) ...")
+            q = residual_error(codes, patterns[0], ccs_reads, ratio=0.15)
+        elif len(all_contigs) == 1:
+            q = quality
+        else:
+            q = None  # tiny contig: skip the locator pass
+        per_contig_quality.append(None if q is None else q["residual_error"])
+        if q is not None:
+            agg_cost += q["total_cost"]
+            agg_len += q["total_len"]
+        cov["per_contig"][ci]["residual_error"] = (
+            None if q is None else q["residual_error"]
+        )
+    assembly_residual = round(agg_cost / agg_len, 4) if agg_len else None
+
     summary = {
         "metric": "reads_aligned_per_s",
         "value": round(consumed / wall_cum, 2),
@@ -258,6 +372,12 @@ def main() -> int:
         "contig_len": int(contig_lens[0]),
         "contig_lens": [int(x) for x in contig_lens],
         "residual_error": quality["residual_error"],
+        "assembly_residual_error": assembly_residual,
+        "genome_fraction": cov["genome_fraction"],
+        "genome_covered": cov["genome_covered"],
+        "n50": cov["n50"],
+        "ng50": cov["ng50"],
+        "coverage_eval": cov,
         "quality": quality,
         "steady_state": steady,
         "wall_s": round(wall_cum, 1),

@@ -47,10 +47,13 @@ def measure(iters: int, batches, dev_batches, LA, W, ratio):
     acc0, cost0 = run(dev_batches[0])
     compile_s = time.time() - t0
     times = []
+    accs, costs = [acc0], [cost0]
     for db in dev_batches[1:]:
         t = time.time()
-        run(db)
+        acc, cost = run(db)
         times.append(time.time() - t)
+        accs.append(acc)
+        costs.append(cost)
     a, la, b, lb, _ = batches[1]
     cells = bench.reference_cells(la, lb, ratio)
     best = float(np.min(times))
@@ -59,8 +62,9 @@ def measure(iters: int, batches, dev_batches, LA, W, ratio):
         "best_ms": best * 1000,
         "median_ms": float(np.median(times)) * 1000,
         "compile_s": compile_s,
-        "accept": acc0,
-        "cost": cost0,
+        # parity verdict covers EVERY batch exercised, not just the warm-up
+        "accept": np.concatenate(accs),
+        "cost": np.concatenate(costs),
     }
 
 

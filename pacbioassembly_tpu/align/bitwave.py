@@ -355,27 +355,8 @@ def _kernel(
     scal_ref[:, L:] = failed
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm", "interpret"),
-)
-def batch_score_bitpallas(
-    a: jax.Array,
-    la: jax.Array,
-    b: jax.Array,
-    lb: jax.Array,
-    *,
-    la_max: int,
-    w_max: int,
-    ratio: float = Constants.MAXR,
-    maxn: int = Constants.ALIGNER_MAXN,
-    maxm: int = Constants.ALIGNER_MAXM,
-    interpret: bool = False,
-) -> BatchScores:
-    """Bit-parallel Pallas equivalent of scan.batch_score (same contract)."""
-    B0 = a.shape[0]
-    LA = a.shape[1]
-    LB = b.shape[1]
+def _dims(B0: int, LA: int, LB: int, la_max: int, w_max: int) -> dict:
+    """Static launch geometry, shared by the prep / kernel / post stages."""
     cen, words, L, NB, BW = _plan(w_max)
     cols_max = min(LB, la_max)  # kernel-a = min side
     KA = _round_up(cols_max + UNROLL + 1, CHUNK)
@@ -384,7 +365,28 @@ def batch_score_bitpallas(
     if NB > 1 and PBL != L:
         NB, BW = 1, L  # lane-blocked PEQ windows need the one-vreg geometry
     SLC = _pick_sl(KA, PBL, L, NB)
-    T_pad = KA
+    GRP = SLC * NB
+    B = _round_up(max(B0, 1), GRP)
+    return dict(
+        cen=cen, words=words, L=L, NB=NB, BW=BW, cols_max=cols_max, KA=KA,
+        KB=KB, PBL=PBL, SLC=SLC, T_pad=KA, B=B, P=B // GRP,
+    )
+
+
+def _prep(a, la, b, lb, *, la_max, w_max, ratio, maxn, maxm):
+    """XLA dispatch prep: geometry, thresholds, PEQ build, masks, blocked
+    packing — everything between (a, la, b, lb) and the pallas_call's
+    inputs. Split from the kernel so bench.py can time the stages
+    separately (the r3 lesson: ~30% of what the roofline attributed to
+    the kernel was actually this stage's since-removed gathers).
+    Returns (kernel inputs tuple, aux tuple for _post)."""
+    B0 = a.shape[0]
+    LA = a.shape[1]
+    LB = b.shape[1]
+    d = _dims(B0, LA, LB, la_max, w_max)
+    cen, L, NB, BW = d["cen"], d["L"], d["NB"], d["BW"]
+    KA, KB, PBL, SLC = d["KA"], d["KB"], d["PBL"], d["SLC"]
+    T_pad, B, P = d["T_pad"], d["B"], d["P"]
     tab_len = max(la_max, LB, LA) + 2
 
     early_thr_np, accept_min_np, band_tab_np = _threshold_tables(ratio, tab_len)
@@ -461,9 +463,6 @@ def batch_score_bitpallas(
     )
 
     # pack pairs into (programs, SLC sublanes, NB lane-blocks)
-    GRP = SLC * NB
-    B = _round_up(max(B0, 1), GRP)
-    P = B // GRP
     dpad = B - B0
 
     def padb(x, fill=0):
@@ -495,6 +494,19 @@ def batch_score_bitpallas(
     md_p = pack_scalar(md, 1)
     lena_p = pack_scalar(klena, 0)
     oksz_p = pack_scalar(ok_size, 0)
+
+    inputs = (tab, ka_p, peq_p, smask_p, tmask_p, md_p, lena_p, oksz_p)
+    aux = (swap, len_b, klena, klenb, ok_size)
+    return inputs, aux
+
+
+def _call_kernel(inputs, *, B0, LA, LB, la_max, w_max, interpret=False):
+    """The pallas_call alone: packed inputs -> packed outputs."""
+    d = _dims(B0, LA, LB, la_max, w_max)
+    cen, words, L, NB, BW = d["cen"], d["words"], d["L"], d["NB"], d["BW"]
+    KA, PBL, SLC, T_pad = d["KA"], d["PBL"], d["SLC"], d["T_pad"]
+    cols_max, P = d["cols_max"], d["P"]
+    tab, ka_p, peq_p, smask_p, tmask_p, md_p, lena_p, oksz_p = inputs
 
     grid = (P,)
     out_words, out_scal = pl.pallas_call(
@@ -539,6 +551,18 @@ def batch_score_bitpallas(
         ),
         interpret=interpret,
     )(tab, ka_p, peq_p, smask_p, tmask_p, md_p, lena_p, oksz_p)
+    return out_words, out_scal
+
+
+def _post(out_words, out_scal, aux, *, B0, LA, LB, la_max, w_max, ratio):
+    """XLA epilogue: goal cells, un-transpose, acceptance thresholds."""
+    d = _dims(B0, LA, LB, la_max, w_max)
+    cen, L, NB, BW = d["cen"], d["L"], d["NB"], d["BW"]
+    SLC, B, P = d["SLC"], d["B"], d["P"]
+    swap, len_b, klena, klenb, ok_size = aux
+    tab_len = max(la_max, LB, LA) + 2
+    _, accept_min_np, _ = _threshold_tables(ratio, tab_len)
+    accept_min = jnp.asarray(accept_min_np)
 
     def unpack_lanes(x):
         """(P*SLC, L) -> (B0, BW) per-pair block rows."""
@@ -562,6 +586,7 @@ def batch_score_bitpallas(
     # bit q of the final-column words, for q in a static range: expand every
     # needed word to its 32 bits (repeat + static per-lane shift) and slice —
     # the take_along_axis form is a real TPU gather, linear in B*E
+    assert cen >= 1, cen  # _plan guarantees this; wlo below reads word cen-1
     wlo = (cen - 1) >> 5
     nw = ((cen + E - 2) >> 5) - wlo + 1
     bit_sh = (jnp.arange(nw * 32, dtype=U32) & U32(31))[None, :]
@@ -599,3 +624,63 @@ def batch_score_bitpallas(
     # columns (transpose normalization) at 32-column early-exit granularity
     rows = jnp.where(ok_size != 0, jnp.where(failed, fail_col, klena), 0)
     return BatchScores(accept, cost, matlen_a, matlen_b, diag_cost, rows)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm", "interpret"),
+)
+def batch_score_bitpallas(
+    a: jax.Array,
+    la: jax.Array,
+    b: jax.Array,
+    lb: jax.Array,
+    *,
+    la_max: int,
+    w_max: int,
+    ratio: float = Constants.MAXR,
+    maxn: int = Constants.ALIGNER_MAXN,
+    maxm: int = Constants.ALIGNER_MAXM,
+    interpret: bool = False,
+) -> BatchScores:
+    """Bit-parallel Pallas equivalent of scan.batch_score (same contract)."""
+    B0, LA, LB = a.shape[0], a.shape[1], b.shape[1]
+    inputs, aux = _prep(
+        a, la, b, lb, la_max=la_max, w_max=w_max, ratio=ratio,
+        maxn=maxn, maxm=maxm,
+    )
+    out_words, out_scal = _call_kernel(
+        inputs, B0=B0, LA=LA, LB=LB, la_max=la_max, w_max=w_max,
+        interpret=interpret,
+    )
+    return _post(
+        out_words, out_scal, aux, B0=B0, LA=LA, LB=LB,
+        la_max=la_max, w_max=w_max, ratio=ratio,
+    )
+
+
+# Staged wrappers for bench.py's roofline split (NOT production paths):
+# prep-only (returns the packed kernel inputs) and kernel-only (consumes
+# them), so kernel-only time can be measured on device-resident prepped
+# inputs without the XLA prologue/epilogue in the same dispatch.
+
+
+@functools.partial(
+    jax.jit, static_argnames=("la_max", "w_max", "ratio", "maxn", "maxm")
+)
+def bitpallas_prep_only(
+    a, la, b, lb, *, la_max, w_max,
+    ratio=Constants.MAXR, maxn=Constants.ALIGNER_MAXN, maxm=Constants.ALIGNER_MAXM,
+):
+    inputs, _ = _prep(
+        a, la, b, lb, la_max=la_max, w_max=w_max, ratio=ratio,
+        maxn=maxn, maxm=maxm,
+    )
+    return inputs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B0", "LA", "LB", "la_max", "w_max")
+)
+def bitpallas_kernel_only(inputs, *, B0, LA, LB, la_max, w_max):
+    return _call_kernel(inputs, B0=B0, LA=LA, LB=LB, la_max=la_max, w_max=w_max)

@@ -68,6 +68,7 @@ def static_shift_edge(x: jax.Array, shift: int, width: int) -> jax.Array:
     """
     assert shift >= 0, shift
     Lx = x.shape[1]
+    assert Lx >= 1, "edge-mode pad needs a nonempty axis-1"
     y = jnp.pad(x, ((0, 0), (shift, max(0, width - Lx - shift))), mode="edge")
     return y[:, :width]
 

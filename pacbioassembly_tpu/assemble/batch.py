@@ -54,6 +54,33 @@ SCREEN_CHUNK = 4096
 # round's candidates in all but extreme rounds.
 PREFILTER_CHUNK = 65536
 
+# Dispatch shapes already traced in this process: a miss means XLA/Mosaic
+# compiles during that launch — the dominant cause of the 2-10x round-time
+# outliers in the r3 scale runs. Every device launch records its shape,
+# novelty, and wall time into the assembler's per-round launch log so
+# metrics.jsonl can attribute spikes (compile vs tunnel noise).
+_seen_shapes: set = set()
+
+
+def _timed_launch(launch_log, kind, shape, fn):
+    """Run one device dispatch, recording (kind, shape, seconds, first-seen)
+    into launch_log (a per-round list, or None outside run_round)."""
+    import time as _time
+
+    key = (kind,) + tuple(shape)
+    new = key not in _seen_shapes
+    _seen_shapes.add(key)
+    t0 = _time.perf_counter()
+    out = fn()
+    if launch_log is not None:
+        launch_log.append({
+            "kind": kind,
+            "shape": list(shape),
+            "s": round(_time.perf_counter() - t0, 4),
+            "new": new,
+        })
+    return out
+
 
 class CandidateBatch:
     """Structure-of-arrays candidate set — one row per (read, trial,
@@ -433,12 +460,15 @@ class BatchAssembler:
         all_idx = np.arange(len(cands))
         for lo in range(0, len(cands), PREFILTER_CHUNK):
             idxs = all_idx[lo : lo + PREFILTER_CHUNK]
-            vecs = self._device_vectors(
-                cands, idxs, ref_len, LAp, ladder_size(len(idxs))
-            )
-            packed = builder.score(
-                self.ref, *vecs, LA=LAp, LB=LBp, w_max=Wp,
-                ratio=cfg.prefilter_ratio, backend=backend,
+            Bp = ladder_size(len(idxs))
+            vecs = self._device_vectors(cands, idxs, ref_len, LAp, Bp)
+            packed = _timed_launch(
+                getattr(self, "launch_log", None), "pf",
+                (backend, Bp, LAp, LBp, Wp),
+                lambda: builder.score(
+                    self.ref, *vecs, LA=LAp, LB=LBp, w_max=Wp,
+                    ratio=cfg.prefilter_ratio, backend=backend,
+                ),
             )
             keep[idxs] = packed[: len(idxs), 0] != 0
             rows = packed[: len(idxs), 2].astype(np.int64)
@@ -498,12 +528,16 @@ class BatchAssembler:
                 # round time on remote links)
                 from ..align.screen import ladder_size, screening_backend
 
-                vecs = self._device_vectors(
-                    cands, idxs, ref_len, LA, ladder_size(len(idxs))
-                )
-                packed = self._builder().score(
-                    self.ref, *vecs, LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
-                    backend=screening_backend(),
+                Bp = ladder_size(len(idxs))
+                vecs = self._device_vectors(cands, idxs, ref_len, LA, Bp)
+                backend = screening_backend()
+                packed = _timed_launch(
+                    getattr(self, "launch_log", None), "fs",
+                    (backend, Bp, LA, LB, W),
+                    lambda: self._builder().score(
+                        self.ref, *vecs, LA=LA, LB=LB, w_max=W,
+                        ratio=cfg.ratio, backend=backend,
+                    ),
                 )
                 acc = packed[:, 0] != 0
                 ma = packed[:, 1]
@@ -751,11 +785,19 @@ class BatchAssembler:
                 enabled[row] = True
 
             if n_dev > 1:
-                packed = sharded_elect_packed(
-                    self._mesh, ops_m, vals_m, start, fwd, enabled, Lc
+                packed = _timed_launch(
+                    getattr(self, "launch_log", None), "elect",
+                    (Lc, Np, Ep, n_dev),
+                    lambda: sharded_elect_packed(
+                        self._mesh, ops_m, vals_m, start, fwd, enabled, Lc
+                    ),
                 )
             else:
-                packed = jit_elect_packed(Lc)(ops_m, vals_m, start, fwd, enabled)
+                packed = _timed_launch(
+                    getattr(self, "launch_log", None), "elect",
+                    (Lc, Np, Ep, 1),
+                    lambda: jit_elect_packed(Lc)(ops_m, vals_m, start, fwd, enabled),
+                )
             packed = np.asarray(packed)
             w = min(span, L - base)
             o = pre0 + base
@@ -805,10 +847,14 @@ class BatchAssembler:
                 acc_p[: len(part)] = True
                 rows_pk = -(-rows // 128) * 128
                 E = rows_pk + W + 2 + 32
-                ov, ne = self._builder().traceback_parents(
-                    self.ref, *vecs, ma_p, mb_p, acc_p,
-                    LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
-                    rows_max=rows_pk, e_max=E, interpret=tb_interp,
+                ov, ne = _timed_launch(
+                    getattr(self, "launch_log", None), "tbp",
+                    (CHUNK, LA, LB, W, rows_pk, E),
+                    lambda: self._builder().traceback_parents(
+                        self.ref, *vecs, ma_p, mb_p, acc_p,
+                        LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
+                        rows_max=rows_pk, e_max=E, interpret=tb_interp,
+                    ),
                 )
                 ops, vals = ov[:, :E], ov[:, E:]
                 for bi, n in enumerate(part):
@@ -821,9 +867,13 @@ class BatchAssembler:
                 continue
             if self._fusable(len(part)):
                 vecs = self._device_vectors(cands, part, ref_len, LA, CHUNK)
-                scal, ov = self._builder().traceback(
-                    self.ref, *vecs, LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
-                    rows_max=rows,
+                scal, ov = _timed_launch(
+                    getattr(self, "launch_log", None), "tbx",
+                    (CHUNK, LA, LB, W, rows),
+                    lambda: self._builder().traceback(
+                        self.ref, *vecs, LA=LA, LB=LB, w_max=W,
+                        ratio=cfg.ratio, rows_max=rows,
+                    ),
                 )
                 acc, ma, mb, ne = (scal[:, k] for k in range(4))
                 acc = acc != 0
@@ -860,6 +910,7 @@ class BatchAssembler:
         import time
 
         self.nround += 1
+        self.launch_log = []  # per-launch (kind, shape, s, new) this round
         cells_before = self.dp_cells_total
         pattern = self._pick_pattern()
         t0 = time.perf_counter()
@@ -881,6 +932,12 @@ class BatchAssembler:
         if self.nfailure < len(self.patterns):
             self.ref.evolve()
         t5 = time.perf_counter()
+        # launch-log aggregates: attribute round-time outliers to their
+        # cause — a `new` slowest launch means XLA/Mosaic compiled a
+        # first-seen dispatch shape this round; an old shape running 10x
+        # its usual time is tunnel noise (VERDICT r3 item 5)
+        ll = self.launch_log
+        slow = max(ll, key=lambda e: e["s"]) if ll else None
         self.phase_s = {
             "seedmap_s": round(t1 - t0, 4),
             "expand_s": round(t2 - t1, 4),
@@ -889,6 +946,18 @@ class BatchAssembler:
             "evolve_s": round(t5 - t4, 4),
             "retreats": self.retreats,
             "prefilter_kept": getattr(self, "prefilter_kept", -1),
+            "launches": len(ll),
+            "new_shapes": int(sum(e["new"] for e in ll)),
+            **(
+                {
+                    "slow_launch_kind": slow["kind"],
+                    "slow_launch_s": slow["s"],
+                    "slow_launch_new": slow["new"],
+                    "slow_launch_shape": slow["shape"],
+                }
+                if slow
+                else {}
+            ),
             **dict(getattr(expand_candidates, "phase_s", {})),
             **getattr(self, "screen_phase_s", {}),
             **getattr(self, "commit_phase_s", {}),
@@ -914,11 +983,16 @@ class BatchAssembler:
         if cfg.metrics_path:
             from ..utils import MetricsLogger
 
+            import os as _os
+
             metrics = MetricsLogger(path=cfg.metrics_path)
             # segment marker: the metrics file is append-mode, so offline
             # consumers (benchmarks/ecoli_scale.py cumulative accounting)
-            # need an explicit process/run boundary
-            metrics.event("run_start", resume=bool(cfg.resume_path))
+            # need an explicit process/run boundary; pid distinguishes a
+            # new PROCESS from a multi-contig restart in the same one
+            metrics.event(
+                "run_start", resume=bool(cfg.resume_path), pid=_os.getpid()
+            )
         if cfg.resume_path:
             from .checkpoint import load_checkpoint
 
@@ -952,7 +1026,9 @@ class BatchAssembler:
                 # same trajectory as the uninterrupted run (the retreat and
                 # nfailure reset are part of this round's state).
                 trimmed = 0
-                if self.retreats < cfg.edge_retreat:
+                if self.retreats < cfg.edge_retreat and (
+                    self.ref.length() >= cfg.edge_retreat_min_len
+                ):
                     trimmed = self.ref.retreat_edges(
                         cfg.edge_retreat_min_total,
                         keep_min=cfg.overlap_min,

@@ -133,6 +133,12 @@ class AssemblyConfig:
     # 0 disables the escalation (retreat stops at the reference-plus-fringe
     # behavior).
     edge_retreat_bite: int = 0
+    # retreats are only worth their rounds on a contig that has actually
+    # grown: a junk-read restart (multi-contig mode) stalls at ~read
+    # length and would otherwise burn the whole retreat budget a few
+    # wasted rounds at a time. Contigs shorter than this stop at the
+    # first full pattern sweep instead. 0 = retreat at any length.
+    edge_retreat_min_len: int = 0
 
     # capacity: max consensus length (reference MAX_SEQ_LEN, common.h:31);
     # unlike the reference's compile-time cap this is a runtime knob, so

@@ -188,4 +188,8 @@ def residual_error(
         "mean_cost_per_read_base": (
             round(float(np.mean([r[2] / r[3] for r in rows])), 4) if rows else None
         ),
+        # raw sums so multi-contig assemblies can aggregate one residual
+        # over all contigs (sum costs / sum lengths), benchmarks/ecoli_scale.py
+        "total_cost": int(tot_cost),
+        "total_len": int(tot_len),
     }
