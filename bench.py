@@ -63,7 +63,14 @@ def reference_cells(la, lb, ratio):
     return total
 
 
-def bench_tpu(B=256, LB=2048, iters=8):
+def bench_tpu(B=2048, LB=2048, iters=8):
+    # B=2048 is the production screening-launch scale (SCREEN_CHUNK): the
+    # r4 batch sweep (benchmarks/results/bitwave_batch_sweep_r4.json)
+    # measured 23.1 / 43.2 / 67.0 / 102.8 Gcells/s at B=256/512/1024/2048 —
+    # the dispatch pays ~20-27 ms of tunnel launch latency regardless of B,
+    # so small batches measure the link, not the kernel (the r2-r3
+    # "16 Gcells/s ceiling" was this artifact plus since-removed prep
+    # gathers; marginal device rate is ~200 Gcells/s).
     import jax
 
     from pacbioassembly_tpu.utils import enable_compilation_cache

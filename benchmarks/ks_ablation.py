@@ -81,7 +81,9 @@ def main() -> int:
     import bench
     from pacbioassembly_tpu.align import bitwave
 
-    B, LB = 256, 2048
+    # B=2048 matches bench.py's production-scale geometry (the r4 batch
+    # sweep showed smaller batches measure tunnel latency, not the kernel)
+    B, LB = 2048, 2048
     ratio = 0.3
     W = 1 + int(LB * ratio)
     LA = LB + W + 1
