@@ -372,6 +372,16 @@ class BatchAssembler:
         la = np.minimum(la, LA).astype(np.int32)
         return a_mat, la, b_mat, lb
 
+    def _win_ladder(self) -> int:
+        """Padded device-window length (assemble/gather.py window ladder)
+        — part of every fused dispatch's compiled shape, so launch shape
+        keys must include it: crossing a ladder step retraces/recompiles
+        even when (B, LA, LB) were all seen before (the round-45 '8.9 s
+        prefilter, new_shapes=0' mystery in the first wg run)."""
+        from ..align.screen import ladder_size
+
+        return ladder_size(max(self.ref.post - self.ref.pre, 1), 8192)
+
     def _builder(self):
         """The device batch builder, or None when the host path must be
         used (disabled, or reads too large for a dense device matrix)."""
@@ -464,7 +474,7 @@ class BatchAssembler:
             vecs = self._device_vectors(cands, idxs, ref_len, LAp, Bp)
             packed = _timed_launch(
                 getattr(self, "launch_log", None), "pf",
-                (backend, Bp, LAp, LBp, Wp),
+                (backend, Bp, LAp, LBp, Wp, self._win_ladder()),
                 lambda: builder.score(
                     self.ref, *vecs, LA=LAp, LB=LBp, w_max=Wp,
                     ratio=cfg.prefilter_ratio, backend=backend,
@@ -533,7 +543,7 @@ class BatchAssembler:
                 backend = screening_backend()
                 packed = _timed_launch(
                     getattr(self, "launch_log", None), "fs",
-                    (backend, Bp, LA, LB, W),
+                    (backend, Bp, LA, LB, W, self._win_ladder()),
                     lambda: self._builder().score(
                         self.ref, *vecs, LA=LA, LB=LB, w_max=W,
                         ratio=cfg.ratio, backend=backend,
@@ -849,7 +859,7 @@ class BatchAssembler:
                 E = rows_pk + W + 2 + 32
                 ov, ne = _timed_launch(
                     getattr(self, "launch_log", None), "tbp",
-                    (CHUNK, LA, LB, W, rows_pk, E),
+                    (CHUNK, LA, LB, W, rows_pk, E, self._win_ladder()),
                     lambda: self._builder().traceback_parents(
                         self.ref, *vecs, ma_p, mb_p, acc_p,
                         LA=LA, LB=LB, w_max=W, ratio=cfg.ratio,
@@ -869,7 +879,7 @@ class BatchAssembler:
                 vecs = self._device_vectors(cands, part, ref_len, LA, CHUNK)
                 scal, ov = _timed_launch(
                     getattr(self, "launch_log", None), "tbx",
-                    (CHUNK, LA, LB, W, rows),
+                    (CHUNK, LA, LB, W, rows, self._win_ladder()),
                     lambda: self._builder().traceback(
                         self.ref, *vecs, LA=LA, LB=LB, w_max=W,
                         ratio=cfg.ratio, rows_max=rows,
