@@ -66,6 +66,9 @@ def main() -> int:
     ap.add_argument("--retreat-min-len", type=int, default=0,
                     help="skip retreats on contigs shorter than this "
                          "(multi-contig junk-restart guard)")
+    ap.add_argument("--retreat-fruitless", type=int, default=0,
+                    help="stop after N consecutive retreats with zero "
+                         "matches (unalignable-survivor escape; 0 = off)")
     ap.add_argument("--max-trial", type=int, default=32,
                     help="seeding trials per read per direction (-t)")
     ap.add_argument("--rng-seed", type=int, default=7)
@@ -127,6 +130,7 @@ def main() -> int:
         edge_retreat=args.edge_retreat,
         edge_retreat_bite=args.retreat_bite,
         edge_retreat_min_len=args.retreat_min_len,
+        edge_retreat_fruitless=args.retreat_fruitless,
         max_trial=args.max_trial,
         max_seq_len=args.genome_len + 500_000,
         metrics_path=os.path.join(args.out, "metrics.jsonl"),

@@ -1014,6 +1014,9 @@ class BatchAssembler:
         max_round = cfg.max_round if cfg.max_round is not None else 1 << 31
         while self.nround < max_round:
             stats = self.run_round(log=log)
+            self.matches_since_retreat = (
+                getattr(self, "matches_since_retreat", 0) + stats.nmatches
+            )
             if log:
                 drop = (
                     f" dropped_candidates={stats.dropped_candidates}"
@@ -1035,9 +1038,20 @@ class BatchAssembler:
                 # BEFORE the per-round checkpoint so a resume replays the
                 # same trajectory as the uninterrupted run (the retreat and
                 # nfailure reset are part of this round's state).
+                # fruitless-retreat escape (AssemblyConfig.edge_retreat_
+                # fruitless): if the last N retreats each led to zero
+                # matches before the next stall, the survivors are
+                # unalignable and further retreats only nibble the contig
+                fruitless = getattr(self, "fruitless_retreats", 0)
+                give_up = (
+                    cfg.edge_retreat_fruitless
+                    and fruitless >= cfg.edge_retreat_fruitless
+                )
                 trimmed = 0
-                if self.retreats < cfg.edge_retreat and (
-                    self.ref.length() >= cfg.edge_retreat_min_len
+                if (
+                    not give_up
+                    and self.retreats < cfg.edge_retreat
+                    and self.ref.length() >= cfg.edge_retreat_min_len
                 ):
                     trimmed = self.ref.retreat_edges(
                         cfg.edge_retreat_min_total,
@@ -1049,6 +1063,14 @@ class BatchAssembler:
                         trimmed = self.ref.retreat_fixed(
                             cfg.edge_retreat_bite, keep_min=cfg.overlap_min
                         )
+                if trimmed != 0:
+                    self.fruitless_retreats = (
+                        fruitless + 1
+                        if getattr(self, "matches_since_retreat", 0) == 0
+                        and self.retreats > 0
+                        else 0
+                    )
+                    self.matches_since_retreat = 0
                 if trimmed == 0:
                     stop = True
                 else:

@@ -26,6 +26,8 @@ def save_checkpoint(path: str, asm) -> None:
         "nround": asm.nround,
         "nfailure": asm.nfailure,
         "retreats": getattr(asm, "retreats", 0),
+        "fruitless_retreats": getattr(asm, "fruitless_retreats", 0),
+        "matches_since_retreat": getattr(asm, "matches_since_retreat", 0),
         "engine": type(asm).__name__,
         "beg": state["beg"],
         "end": state["end"],
@@ -70,4 +72,6 @@ def load_checkpoint(path: str, asm) -> None:
         asm.nfailure = int(meta["nfailure"])
         if hasattr(asm, "retreats"):
             asm.retreats = int(meta.get("retreats", 0))
+            asm.fruitless_retreats = int(meta.get("fruitless_retreats", 0))
+            asm.matches_since_retreat = int(meta.get("matches_since_retreat", 0))
         asm.rng.bit_generator.state = json.loads(str(z["rng"]))

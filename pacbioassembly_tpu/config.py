@@ -139,6 +139,12 @@ class AssemblyConfig:
     # wasted rounds at a time. Contigs shorter than this stop at the
     # first full pattern sweep instead. 0 = retreat at any length.
     edge_retreat_min_len: int = 0
+    # stop after this many CONSECUTIVE retreats that produced no match at
+    # all before the next stall: once the survivors are genuinely
+    # unalignable (the r4 whole-genome run ended with 5 junk reads and a
+    # 186-retreat budget that could only nibble the contig edges), more
+    # retreats are pure waste. 0 = retreat until the budget is spent.
+    edge_retreat_fruitless: int = 0
 
     # capacity: max consensus length (reference MAX_SEQ_LEN, common.h:31);
     # unlike the reference's compile-time cap this is a runtime knob, so

@@ -577,3 +577,34 @@ def test_prefilter_no_lost_accepts_high_error(monkeypatch, tmp_path):
         n_acc += int(acc_off.sum())
     assert n_total >= 200, f"fixture too small ({n_total} candidates)"
     assert n_acc >= 3, "fixture must contain real 15%-error overlaps"
+
+
+def test_fruitless_retreat_escape():
+    """edge_retreat_fruitless: once every surviving read is unalignable,
+    N consecutive zero-match retreats must end the run instead of
+    nibbling the contig for the whole edge_retreat budget (the r4
+    whole-genome run ended with 5 junk reads and 186 unspent retreats
+    that could only trim edges)."""
+    from pacbioassembly_tpu.codec import binary_io
+    from pacbioassembly_tpu.tools.simulate import SimConfig, simulate
+
+    rng = np.random.default_rng(0)
+    _, reads_list, _ = simulate(SimConfig(
+        genome_len=3000, coverage=3.0, mean_read_len=900,
+        min_read_len=600, max_read_len=1200,
+        sub_rate=0.01, ins_rate=0.01, del_rate=0.01, seed=1,
+    ))
+    junk = [rng.integers(0, 4, 800).astype(np.uint8) for _ in range(3)]
+    buf = io.BytesIO()
+    binary_io.write_records(buf, reads_list + junk)
+    cfg = AssemblyConfig(
+        engine="batch", rng_seed=0, pattern_schedule="roundrobin",
+        edge_retreat=50, edge_retreat_bite=8, edge_retreat_fruitless=2,
+    )
+    reads = ReadStore(np.frombuffer(buf.getvalue(), np.uint8))
+    patterns = [dna.parse_pattern("1111111111111111")]
+    asm = BatchAssembler(cfg, reads, patterns)
+    asm.run(out=None, log=None)
+    # junk reads survive; the escape must fire long before the budget
+    assert len(asm.surviving) >= 3
+    assert 1 <= asm.retreats <= 5, asm.retreats
