@@ -32,6 +32,85 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def derive_cumulative(metrics_path, wall, dp_cells, single_contig=True):
+    """Cumulative accounting across checkpoint resumes and multi-contig
+    restarts: each process's metrics rows carry an elapsed-time 't' that
+    resets on restart, plus dp_cells per round. Returns (wall_cum,
+    dp_cells_cum, steady) — whole-experiment wall (sum of per-segment
+    maxima), dp cells (last occurrence per round wins so a replayed
+    post-checkpoint round isn't double-counted), and second-half
+    steady-state throughput with the round-time distribution.
+
+    Markers group into experiment CHAINS: a chain begins at a non-resume
+    run_start from a NEW pid (a genuinely fresh process); resume markers
+    and same-pid restarts (multi-contig mode emits one fresh marker per
+    contig) extend the current chain. Counting starts at the last chain,
+    so a reused --out dir drops unrelated older experiments but
+    kill+--resume and multi-contig restarts keep their full history."""
+    wall_cum, dp_cells_cum, steady = wall, dp_cells, None
+    try:
+        rows = []
+        with open(metrics_path) as fh:
+            for line in fh:
+                r = json.loads(line)
+                if r.get("event") in ("round", "run_start"):
+                    rows.append(r)
+        chain_start = 0
+        prev_pid = None
+        for i, r in enumerate(rows):
+            if r.get("event") != "run_start":
+                continue
+            pid = r.get("pid")
+            if not r.get("resume") and (pid is None or pid != prev_pid):
+                chain_start = i
+            prev_pid = pid
+        rows = rows[chain_start:]
+        seg_max, last_t, w = 0.0, None, 0.0
+        per_round = {}
+        for r in rows:
+            t = float(r["t"])
+            # a run_start marker is a definitive process boundary (robust
+            # even when the resumed process outlasts the killed one, which
+            # the t-decrease heuristic alone would miss)
+            if r.get("event") == "run_start" or (
+                last_t is not None and t < last_t
+            ):
+                w += seg_max
+                seg_max = 0.0
+            seg_max = max(seg_max, t)
+            last_t = t
+            if r.get("event") == "round":
+                per_round[int(r["nround"])] = int(r.get("dp_cells", 0))
+        w += seg_max
+        if w > wall:
+            wall_cum = w
+        if single_contig:
+            dp_cells_cum = max(dp_cells, sum(per_round.values()))
+        # steady-state throughput: the whole-run number amortizes the
+        # per-process Mosaic compile warmup (the axon remote-compile path
+        # does not hit jax's persistent cache across processes; 10-30 s
+        # per first-seen size bucket) over the run. Report the second
+        # half of the rounds separately so engine speed and one-time
+        # compile cost are distinguishable.
+        rr = [r for r in rows if r.get("event") == "round"]
+        half = rr[len(rr) // 2:]
+        if half:
+            sw = sum(float(r["round_s"]) for r in half)
+            sc = sum(int(r.get("nmatches", 0)) for r in half)
+            ts = sorted(float(r["round_s"]) for r in half)
+            if sw > 0:
+                steady = {
+                    "rounds": len(half),
+                    "reads_per_s": round(sc / sw, 2),
+                    "round_s_p50": round(ts[len(ts) // 2], 2),
+                    "round_s_p95": round(ts[int(len(ts) * 0.95)], 2),
+                    "round_s_p99": round(ts[int(len(ts) * 0.99)], 2),
+                }
+    except (OSError, ValueError, KeyError):
+        pass
+    return wall_cum, dp_cells_cum, steady
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-len", type=int, default=4_600_000)
@@ -236,84 +315,9 @@ def main() -> int:
         retreats = asm.retreats
         dp_cells = asm.dp_cells_total
 
-    # Cumulative accounting across checkpoint resumes: each process's
-    # metrics rows carry an elapsed-time 't' that resets on restart, and
-    # dp_cells per round. Derive whole-experiment wall (sum of per-process
-    # segment maxima) and dp cells (last occurrence per round wins, so a
-    # replayed post-checkpoint round isn't double-counted) so a run that
-    # was killed and resume-finalized still reports honest reads/s.
-    wall_cum, dp_cells_cum = wall, dp_cells
-    steady = None
-    try:
-        rows = []
-        with open(cfg.metrics_path) as fh:
-            for line in fh:
-                r = json.loads(line)
-                if r.get("event") in ("round", "run_start"):
-                    rows.append(r)
-        # the metrics file is append-mode: a reused --out dir may carry
-        # rows from an earlier, unrelated experiment. Count only from the
-        # last NON-resume run_start marker (the engines emit one per
-        # process); files predating the marker fall back to counting
-        # everything with the t-reset heuristic below.
-        fresh = [
-            i for i, r in enumerate(rows)
-            if r.get("event") == "run_start" and not r.get("resume")
-        ]
-        if fresh:
-            # multi-contig runs emit one run_start PER CONTIG in the same
-            # process (each restart resets the logger clock); count from
-            # the first marker of the last process, not the last marker
-            last_pid = rows[fresh[-1]].get("pid")
-            start = fresh[-1]
-            if last_pid is not None:
-                for i in fresh:
-                    if rows[i].get("pid") == last_pid:
-                        start = i
-                        break
-            rows = rows[start:]
-        seg_max, last_t, w = 0.0, None, 0.0
-        per_round = {}
-        for r in rows:
-            t = float(r["t"])
-            # a run_start marker is a definitive process boundary (robust
-            # even when the resumed process outlasts the killed one, which
-            # the t-decrease heuristic alone would miss)
-            if r.get("event") == "run_start" or (
-                last_t is not None and t < last_t
-            ):
-                w += seg_max
-                seg_max = 0.0
-            seg_max = max(seg_max, t)
-            last_t = t
-            if r.get("event") == "round":
-                per_round[int(r["nround"])] = int(r.get("dp_cells", 0))
-        w += seg_max
-        if w > wall:
-            wall_cum = w
-        if args.contigs == 1:
-            dp_cells_cum = max(dp_cells, sum(per_round.values()))
-        # steady-state throughput: the whole-run number amortizes the
-        # per-process Mosaic compile warmup (the axon remote-compile path
-        # does not hit jax's persistent cache across processes; 10-30 s
-        # per first-seen size bucket) over the run. Report the second
-        # half of the rounds separately so engine speed and one-time
-        # compile cost are distinguishable.
-        rr = [r for r in rows if r.get("event") == "round"]
-        half = rr[len(rr) // 2:]
-        if half:
-            sw = sum(float(r["round_s"]) for r in half)
-            sc = sum(int(r.get("nmatches", 0)) for r in half)
-            if sw > 0:
-                steady = {
-                    "rounds": len(half),
-                    "reads_per_s": round(sc / sw, 2),
-                    "round_s_p50": round(
-                        sorted(float(r["round_s"]) for r in half)[len(half) // 2], 2
-                    ),
-                }
-    except (OSError, ValueError, KeyError):
-        pass
+    wall_cum, dp_cells_cum, steady = derive_cumulative(
+        cfg.metrics_path, wall, dp_cells, single_contig=args.contigs == 1
+    )
 
     # contig quality, the reference's way (doc/final.tex:266-277): map
     # fresh low-error CCS-like reads onto the contig with the batched
