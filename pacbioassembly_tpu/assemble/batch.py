@@ -64,14 +64,38 @@ _seen_shapes: set = set()
 
 def _timed_launch(launch_log, kind, shape, fn):
     """Run one device dispatch, recording (kind, shape, seconds, first-seen)
-    into launch_log (a per-round list, or None outside run_round)."""
+    into launch_log (a per-round list, or None outside run_round).
+
+    Transient runtime failures retry: the tunneled TPU's remote-compile /
+    execute endpoints occasionally drop mid-call (observed
+    'remote_compile: response body closed' killing a whole-genome run in
+    its first round) and succeed on re-dispatch. Deterministic errors
+    (shape/lowering bugs) re-raise after the retries fail identically."""
     import time as _time
 
     key = (kind,) + tuple(shape)
     new = key not in _seen_shapes
     _seen_shapes.add(key)
     t0 = _time.perf_counter()
-    out = fn()
+    last = None
+    for attempt in range(3):
+        try:
+            out = fn()
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError and transport kin
+            if type(e).__name__ not in ("JaxRuntimeError", "XlaRuntimeError"):
+                raise
+            last = e
+            import sys as _sys
+
+            print(
+                f"[launch retry {attempt + 1}/3] {kind} {list(shape)}: "
+                f"{type(e).__name__}: {e}",
+                file=_sys.stderr, flush=True,
+            )
+            _time.sleep(15.0 * (attempt + 1))
+    else:
+        raise last
     if launch_log is not None:
         launch_log.append({
             "kind": kind,
@@ -814,6 +838,7 @@ class BatchAssembler:
             ref.sel[o : o + w] += packed[:w, 0:4]
             ref.sup[o : o + w] += packed[:w, 4:8]
             ref.total[o : o + w] += packed[:w, 8]
+            ref.mark_dirty(o, o + w)  # incremental-evolve provenance
         ref.version += 1
 
     def _traceback_batch(self, cands, idxs, seg_len, ref_len):

@@ -129,3 +129,5 @@ def evolve_on_device(ref) -> None:
     ref.total[o : o + newL] = np.asarray(res.total)[:newL]
     ref.pre = ref.beg = o
     ref.end = ref.post = o + newL
+    # this path doesn't track absorb receivers; next host evolve runs full
+    ref._dirty = None

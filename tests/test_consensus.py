@@ -261,6 +261,8 @@ def _random_vote_state(rng, L, cap=3 * 4096):
         rng.random((n, 4)) < 0.15, rng.integers(1, 6, (n, 4)), 0
     ).astype(np.int32)
     ref.total[ref.pre : ref.post] = rng.integers(1, 8, n).astype(np.int32)
+    # direct tensor writes bypass elect: declare them for incremental evolve
+    ref.mark_dirty(ref.pre, ref.post)
     return ref
 
 
@@ -308,3 +310,73 @@ def test_device_evolve_after_real_votes(ref):
     np.testing.assert_array_equal(
         ref.sup[ref.pre : ref.post], ref2.sup[ref2.pre : ref2.post]
     )
+
+
+# ------------------------------------------------------ incremental evolve
+
+
+def _rand_edits(rng, n):
+    """A plausible random edit stream (first edit never INSERT)."""
+    from pacbioassembly_tpu.align.types import DELETE, INSERT, MATCH
+
+    ops = rng.choice([MATCH, MATCH, MATCH, DELETE, INSERT], size=n).astype(np.uint8)
+    ops[0] = MATCH
+    vals = rng.integers(0, 4, n).astype(np.uint8)
+    return ops, vals
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_incremental_evolve_equals_full(seed):
+    """Incremental (dirty-span) evolve must be bit-identical to the full
+    rebuild across multi-round histories with edge growth, edge + interior
+    vote clusters, deletions, splits, absorb chains, and retreats. The
+    control ref forces the full path every round by discarding dirty
+    provenance (_dirty = None)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 4, 400).astype(np.uint8)
+    inc = ConsensusRef(base, capacity=3 * 4096, overlap_min=16)
+    full = ConsensusRef(base, capacity=3 * 4096, overlap_min=16)
+
+    for rnd in range(12):
+        L = inc.length()
+        # 2-5 vote clusters: always one near each edge, rest interior
+        starts = [rng.integers(0, max(L // 8, 2))]
+        starts.append(L - 1 - rng.integers(0, max(L // 8, 2)))
+        for _ in range(rng.integers(0, 3)):
+            starts.append(rng.integers(0, max(L - 40, 1)))
+        for s in starts:
+            n = int(rng.integers(5, 40))
+            ops, vals = _rand_edits(rng, n)
+            fwd = bool(rng.random() < 0.5)
+            pos = int(np.clip(s, 0, L - 1))
+            if not fwd:
+                pos = int(np.clip(s + n, n, L - 1))
+            for r in (inc, full):
+                r.elect(pos, ops, vals, fwd)
+        if rng.random() < 0.5:
+            g = rng.integers(0, 4, rng.integers(1, 30)).astype(np.uint8)
+            inc.append(g)
+            full.append(g)
+        if rng.random() < 0.5:
+            g = rng.integers(0, 4, rng.integers(1, 30)).astype(np.uint8)
+            inc.prepend(g)
+            full.prepend(g)
+        full._dirty = None  # force the full path on the control
+        inc.evolve()
+        full.evolve()
+        assert inc.length() == full.length(), f"round {rnd}"
+        np.testing.assert_array_equal(inc.text(), full.text(), err_msg=f"round {rnd}")
+        np.testing.assert_array_equal(
+            inc.sel[inc.pre : inc.post], full.sel[full.pre : full.post]
+        )
+        np.testing.assert_array_equal(
+            inc.sup[inc.pre : inc.post], full.sup[full.pre : full.post]
+        )
+        np.testing.assert_array_equal(
+            inc.total[inc.pre : inc.post], full.total[full.pre : full.post]
+        )
+        if rnd == 6:
+            for r in (inc, full):
+                r.total[r.beg + 50 : r.end - 50] = 3
+                r.mark_dirty(r.beg + 50, r.end - 50)
+                r.retreat_edges(min_total=2, keep_min=16)
