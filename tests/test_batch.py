@@ -608,3 +608,42 @@ def test_fruitless_retreat_escape():
     # junk reads survive; the escape must fire long before the budget
     assert len(asm.surviving) >= 3
     assert 1 <= asm.retreats <= 5, asm.retreats
+
+
+def test_timed_launch_retries(monkeypatch):
+    """_timed_launch retries transient JaxRuntimeError-shaped failures
+    (the tunnel's remote-compile endpoint dropping mid-call) and re-raises
+    deterministic errors immediately."""
+    import time as T
+
+    from pacbioassembly_tpu.assemble import batch as B
+
+    monkeypatch.setattr(T, "sleep", lambda s: None)
+
+    class JaxRuntimeError(Exception):
+        pass
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise JaxRuntimeError("transient transport failure")
+        return "ok"
+
+    log = []
+    assert B._timed_launch(log, "fs", (1, 2), flaky) == "ok"
+    assert len(calls) == 3
+    assert log and log[0]["kind"] == "fs"
+
+    def bad():
+        raise ValueError("deterministic")
+
+    with pytest.raises(ValueError):
+        B._timed_launch(log, "fs", (1, 3), bad)
+
+    def always_down():
+        raise JaxRuntimeError("still down")
+
+    with pytest.raises(JaxRuntimeError):
+        B._timed_launch(log, "fs", (1, 4), always_down)
