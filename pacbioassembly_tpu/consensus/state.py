@@ -66,6 +66,7 @@ class ConsensusRef:
         # evolve (see evolve() — decisions are per-cell local, so clean
         # cells keep their state and only touched spans recompute)
         self._dirty: list | None = []
+        self.evolve_stats = {"fast": 0, "splice": 0, "full": 0, "noop": 0}
 
     # ------------------------------------------------------------------ geometry
 
@@ -341,6 +342,7 @@ class ConsensusRef:
         self.end = self.post = o + newL
         # absorb receivers may split at the NEXT evolve with no new votes
         self._dirty = [(o + int(p), o + int(p) + 1) for p in absorb_out]
+        self.evolve_stats["full"] += 1
 
     def _evolve_incremental(self, spans) -> bool:
         """Recompute only the touched spans and splice them in place.
@@ -350,8 +352,10 @@ class ConsensusRef:
             # nothing voted since the last evolve: every cell keeps
             self.beg, self.end = pre, post
             self._dirty = []
+            self.evolve_stats["noop"] += 1
             return True
         blocks = []
+        interior_delta = False
         for lo, hi in spans:
             lo2 = max(lo - 1, pre)  # preceding kept cell = absorb anchor
             if lo2 == pre and hi == post:
@@ -359,8 +363,14 @@ class ConsensusRef:
             out = self._evolve_block(lo2, hi)
             delta = len(out[0]) - (hi - lo2)
             if lo2 > pre and hi < post and delta != 0:
-                return False  # interior length change: fall back
+                interior_delta = True
             blocks.append((lo2, hi, out, delta))
+        if interior_delta:
+            # an interior span changed length: every cell right of it
+            # shifts, so splice-rebase — span-limited recompute + one
+            # O(L) copy-through of the clean segments (~10x cheaper than
+            # the full path's whole-window candidate recompute)
+            return self._splice_rebase(blocks)
 
         next_dirty = []
         for lo2, hi, (code, sel, sup, tot, absorb_out), delta in blocks:
@@ -386,6 +396,63 @@ class ConsensusRef:
             )
         self.beg, self.end = self.pre, self.post
         self._dirty = next_dirty
+        self.evolve_stats["fast"] += 1
+        return True
+
+    def _splice_rebase(self, blocks) -> bool:
+        """Assemble [clean segment | recomputed block | ...] into a fresh
+        window at the origin (one copy-through pass; the clean segments'
+        evolve output is their input verbatim — the invariant the dirty
+        tracking rests on)."""
+        pre, post = self.pre, self.post
+        o = self.origin
+        plan = []
+        cur = pre
+        for lo2, hi, out, _delta in blocks:
+            if lo2 > cur:
+                plan.append(("clean", cur, lo2, None))
+            plan.append(("new", 0, 0, out))
+            cur = hi
+        if cur < post:
+            plan.append(("clean", cur, post, None))
+        newL = sum(
+            (e[2] - e[1]) if e[0] == "clean" else len(e[3][0]) for e in plan
+        )
+        if o + newL > self.cap:
+            raise OverflowError("reference capacity exceeded (evolve)")
+        nbuf = np.empty(newL, np.uint8)
+        nsel = np.empty((newL, 4), np.int32)
+        nsup = np.empty((newL, 4), np.int32)
+        ntot = np.empty(newL, np.int32)
+        next_dirty = []
+        w = 0
+        for e in plan:
+            if e[0] == "clean":
+                lo, hi = e[1], e[2]
+                n = hi - lo
+                nbuf[w : w + n] = self.buf[lo:hi]
+                nsel[w : w + n] = self.sel[lo:hi]
+                nsup[w : w + n] = self.sup[lo:hi]
+                ntot[w : w + n] = self.total[lo:hi]
+            else:
+                code, sel, sup, tot, absorb_out = e[3]
+                n = len(code)
+                nbuf[w : w + n] = code
+                nsel[w : w + n] = sel
+                nsup[w : w + n] = sup
+                ntot[w : w + n] = tot
+                next_dirty.extend(
+                    (o + w + int(p), o + w + int(p) + 1) for p in absorb_out
+                )
+            w += n
+        self.buf[o : o + newL] = nbuf
+        self.sel[o : o + newL] = nsel
+        self.sup[o : o + newL] = nsup
+        self.total[o : o + newL] = ntot
+        self.pre = self.beg = o
+        self.end = self.post = o + newL
+        self._dirty = next_dirty
+        self.evolve_stats["splice"] += 1
         return True
 
     def retreat_edges(self, min_total: int = 2, keep_min: int = 64) -> int:
@@ -481,4 +548,5 @@ class ConsensusRef:
         ref.version = 0
         # restored votes have unknown provenance: first evolve runs full
         ref._dirty = None
+        ref.evolve_stats = {"fast": 0, "splice": 0, "full": 0, "noop": 0}
         return ref

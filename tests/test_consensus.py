@@ -380,3 +380,8 @@ def test_incremental_evolve_equals_full(seed):
                 r.total[r.beg + 50 : r.end - 50] = 3
                 r.mark_dirty(r.beg + 50, r.end - 50)
                 r.retreat_edges(min_total=2, keep_min=16)
+    # the runs must have exercised the incremental machinery, not just
+    # fallen back (fast = in-place splice, splice = interior-delta rebase)
+    assert inc.evolve_stats["fast"] + inc.evolve_stats["splice"] > 0, (
+        inc.evolve_stats
+    )
