@@ -61,6 +61,19 @@ def bullets() -> list[str]:
             f"contig at 0.1219 residual from the same error regime."
         )
 
+    st = load("ecoli_steady300_3pct_summary.json")
+    if st and st.get("steady_state"):
+        ss = st["steady_state"]
+        out.append(
+            f"* Steady-state engine speed at 4.6 Mb scale (300-round demo, "
+            f"final engine, uncontended host): "
+            f"**{ss['round_s_p50']:.2f} s/round p50, {ss['round_s_p95']:.2f} s "
+            f"p95, {ss['round_s_p99']:.2f} s p99**; best 50-round window "
+            f"33 reads/s; incremental evolve holds the consensus commit at "
+            f"~25 ms where the r3 engine paid 1.3-3.5 s "
+            f"(ecoli_steady300_3pct_metrics.jsonl)."
+        )
+
     bench = load("bench_r4_B2048.json")
     sweep = load("bitwave_batch_sweep_r4.json")
     if bench:
