@@ -638,7 +638,10 @@ class BatchAssembler:
         semantics"), the same premise that makes the vote merge
         commutative; device-committed votes always land inside the
         round-start window. Returns the number of consumed reads."""
-        self.commit_phase_s = {"tb_s": 0.0, "host_commit_s": 0.0, "elect_s": 0.0}
+        self.commit_phase_s = {
+            "tb_s": 0.0, "host_commit_s": 0.0, "elect_s": 0.0,
+            "host_aligns": 0, "device_commits": 0,
+        }
         acc_idx = np.nonzero(accept)[0]
         if len(acc_idx) == 0:
             return 0
@@ -677,11 +680,9 @@ class BatchAssembler:
         pending: list[tuple[int, np.ndarray, np.ndarray]] = []
 
         consumed = []
+        host_work = []  # (ridx, candidate rows) for the sequential path
         for ridx in sorted(by_read):
-            i = self.surviving[ridx]
-            codes = self.reads.codes(i)
             n0 = chosen[ridx]
-            done = False
             # device-commit any alignment that did NOT consume the reference
             # to its end (matlen_a < full accessor length): no growth is
             # possible, so its votes are the same commutative tensor update
@@ -695,30 +696,16 @@ class BatchAssembler:
                 fwd = bool(cands.forward[n0])
                 pending.append((n0, ops, vals))
                 if self.dump is not None:
+                    codes = self.reads.codes(self.surviving[ridx])
                     seg = codes[cj:] if fwd else codes[: len(codes) - cj][::-1]
                     ref_codes = self.ref.accessor(int(cands.r_offset[n0]), fwd)[:matlen_a]
                     self.dump.write(dna.codes_to_text(ref_codes) + "\n")
                     self.dump.write(dna.codes_to_text(seg[:matlen_b]) + "\n")
-                done = True
-            if not done:
-                for n in by_read[ridx]:
-                    cj = int(cands.j[n])
-                    fwd = bool(cands.forward[n])
-                    seg = codes[cj:] if fwd else codes[: len(codes) - cj][::-1]
-                    res = self.ref.try_align(
-                        self._aligner, int(cands.r_offset[n]), seg, fwd
-                    )
-                    if res is not None:
-                        if self.dump is not None:
-                            ref_codes = self.ref.accessor(int(cands.r_offset[n]), fwd)[
-                                : res.matlen_a
-                            ]
-                            self.dump.write(dna.codes_to_text(ref_codes) + "\n")
-                            self.dump.write(dna.codes_to_text(seg[: res.matlen_b]) + "\n")
-                        done = True
-                        break
-            if done:
                 consumed.append(ridx)
+            else:
+                host_work.append((ridx, by_read[ridx]))
+        n_host_aligns, host_consumed = self._commit_host(cands, host_work)
+        consumed.extend(host_consumed)
         t_host = _time.perf_counter()
         if pending:
             self._apply_interior_votes(cands, pending, pre0, post0)
@@ -727,12 +714,99 @@ class BatchAssembler:
             "tb_s": round(t_tb1 - t_tb0, 4),
             "host_commit_s": round(t_host - t_tb1, 4),
             "elect_s": round(t_elect - t_host, 4),
+            # native sequential DPs this round (growers + tb-miss
+            # fallbacks) vs device-committed interior alignments — the
+            # denominator for the host_commit_s phase (PERF_NOTES r4)
+            "host_aligns": n_host_aligns,
+            "device_commits": len(pending),
         }
         consumed_set = set(consumed)
         self.surviving = [
             i for r, i in enumerate(self.surviving) if r not in consumed_set
         ]
         return len(consumed)
+
+    def _commit_host(self, cands: CandidateBatch, work):
+        """Sequential try_align commits for `work` [(ridx, candidate
+        rows)], in read order. Returns (native align count, consumed
+        ridx list).
+
+        When safe (cfg.parallel_commit), the two BOUNDARY REGIONS run in
+        two threads: every candidate comes from the boundary-only seedmap
+        (ref_seq.h:291-311 semantics), so each side's alignments touch at
+        most seedmap-window + read-length cells around its own edge, and
+        growth at post (pre) can only come from right(left)-side
+        candidates — the sides share no state for contigs >= 100 kb, and
+        per-side order, the carrier of the sequential-growth semantics,
+        is preserved. The native DP is thread_local (pbcore.cpp g_arena)
+        and releases the GIL for the C call. Reads with candidates in
+        BOTH regions (repeat-spanning) commit after the join — an
+        ordering deviation of the same kind as the engine's round-start
+        snapshot (commit() docstring); votes commute either way.
+        Determinism: the partition is a pure function of the candidate
+        set, so identical runs produce identical results (pinned by
+        tests/test_batch.py::test_parallel_commit_equivalence)."""
+
+        def run(items):
+            nal = 0
+            cons = []
+            for ridx, ns in items:
+                codes = self.reads.decode(self.surviving[ridx])
+                for n in ns:
+                    cj = int(cands.j[n])
+                    fwd = bool(cands.forward[n])
+                    seg = codes[cj:] if fwd else codes[: len(codes) - cj][::-1]
+                    nal += 1
+                    res = self.ref.try_align(
+                        self._aligner, int(cands.r_offset[n]), seg, fwd
+                    )
+                    if res is not None:
+                        if self.dump is not None:
+                            ref_codes = self.ref.accessor(
+                                int(cands.r_offset[n]), fwd
+                            )[: res.matlen_a]
+                            self.dump.write(dna.codes_to_text(ref_codes) + "\n")
+                            self.dump.write(
+                                dna.codes_to_text(seg[: res.matlen_b]) + "\n"
+                            )
+                        cons.append(ridx)
+                        break
+            return nal, cons
+
+        cfg = self.cfg
+        L = self.ref.length()
+        if (
+            not cfg.parallel_commit
+            or self.ref.locked
+            or self.dump is not None
+            or cfg.quirk_stale_dp  # stale-DP emulation is order-sensitive
+            or L < 100_000
+            or len(work) < 4
+        ):
+            return run(work)
+        mid = L // 2
+        left, right, mixed = [], [], []
+        for ridx, ns in work:
+            sides = {int(cands.r_offset[n]) >= mid for n in ns}
+            if len(sides) == 2:
+                mixed.append((ridx, ns))
+            elif sides.pop():
+                right.append((ridx, ns))
+            else:
+                left.append((ridx, ns))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fut_l = ex.submit(run, left)
+            fut_r = ex.submit(run, right)
+            nl, cl = fut_l.result()
+            nr, cr = fut_r.result()
+        nm, cm = run(mixed)
+        # threads' ref.version += 1 are racy read-modify-writes; one more
+        # bump guarantees the post-commit version differs from any value
+        # a device cache was keyed on during screening
+        self.ref.version += 1
+        return nl + nr + nm, sorted(cl + cr + cm)
 
     def _apply_interior_votes(
         self,

@@ -63,12 +63,18 @@ class ReadStore:
 
     def codes(self, i: int) -> np.ndarray:
         if self._cache_key != i:
-            off = int(self.offsets[i])
-            ln = int(self.lengths[i])
-            payload = self.buf[off + 4 : off + 4 + (ln + 3) // 4]
-            self._cache_codes = dna.unpack_codes(payload, ln)
+            self._cache_codes = self.decode(i)
             self._cache_key = i
         return self._cache_codes
+
+    def decode(self, i: int) -> np.ndarray:
+        """Cache-free decode — safe from concurrent threads (the one-entry
+        cache above is shared mutable state; the parallel commit path uses
+        this instead)."""
+        off = int(self.offsets[i])
+        ln = int(self.lengths[i])
+        payload = self.buf[off + 4 : off + 4 + (ln + 3) // 4]
+        return dna.unpack_codes(payload, ln)
 
     def record(self, i: int) -> np.ndarray:
         """Raw [len][payload] record bytes (for quirk-compat seed_at)."""

@@ -145,6 +145,20 @@ class AssemblyConfig:
     # 186-retreat budget that could only nibble the contig edges), more
     # retreats are pure waste. 0 = retreat until the budget is spent.
     edge_retreat_fruitless: int = 0
+    # run the two boundary regions' sequential host commits in two
+    # threads (the ctypes native DP releases the GIL). The regions are
+    # independent: candidates come from the boundary-only seedmap, each
+    # side's alignments span <= seedmap window + read length, and growth
+    # at post/pre comes only from its own side — so per-side order (the
+    # semantics carrier) is preserved and results are deterministic
+    # (tests/test_batch.py::test_parallel_commit_equivalence). MEASURED
+    # NEGATIVE on the 2-core tunnel host (r4, rounds 301-380 of the
+    # steady run): 18.8 -> 20.3 ms/align — the ~19 ms per align is
+    # glue-dominated (accessor copies, elect numpy, Python) and matches
+    # concentrate on the actively-growing edge, so the split buys
+    # nothing there. OFF by default; the mechanism is kept (tested) for
+    # many-core hosts where the balance differs.
+    parallel_commit: bool = False
 
     # capacity: max consensus length (reference MAX_SEQ_LEN, common.h:31);
     # unlike the reference's compile-time cap this is a runtime knob, so

@@ -647,3 +647,95 @@ def test_timed_launch_retries(monkeypatch):
 
     with pytest.raises(JaxRuntimeError):
         B._timed_launch(log, "fs", (1, 4), always_down)
+
+
+def test_parallel_commit_equivalence():
+    """_commit_host with the two-threaded boundary split must consume the
+    same reads and produce the identical consensus state as the
+    sequential path (cfg.parallel_commit=False), including growth at
+    both ends."""
+    import dataclasses
+
+    from pacbioassembly_tpu.assemble.batch import CandidateBatch
+    from pacbioassembly_tpu.codec import binary_io
+
+    rng = np.random.default_rng(5)
+    L = 120_000
+    genome = rng.integers(0, 4, L + 600).astype(np.uint8)  # 300bp tails
+    ref_codes = genome[300 : 300 + L]
+
+    # reads: interior-boundary copies (some mutated) + one grower per side
+    read_list = []
+    cand_rows = []  # (read_idx, j, forward, r_offset)
+    for k in range(6):  # right-region forward reads
+        start = L - 2000 - 137 * k
+        seg = ref_codes[start : start + 1800].copy()
+        if k % 2:
+            pos = rng.choice(1800, 18, replace=False)
+            seg[pos] = (seg[pos] + 1) % 4
+        read_list.append(seg)
+        cand_rows.append((len(read_list) - 1, 0, True, start))
+    # right grower: consumes to the end, appends 300 new bases
+    grow_r = genome[300 + L - 1500 : 300 + L + 300].copy()
+    read_list.append(grow_r)
+    cand_rows.append((len(read_list) - 1, 0, True, L - 1500))
+    for k in range(6):  # left-region backward reads
+        end = 2000 + 141 * k
+        seg = ref_codes[end - 1800 : end].copy()
+        if k % 2 == 0:
+            pos = rng.choice(1800, 18, replace=False)
+            seg[pos] = (seg[pos] + 1) % 4
+        read_list.append(seg)
+        cand_rows.append((len(read_list) - 1, 0, False, end - 1))
+    # left grower: consumes to the head, prepends 300 new bases
+    grow_l = genome[0 : 300 + 1500].copy()
+    read_list.append(grow_l)
+    cand_rows.append((len(read_list) - 1, 0, False, 1499))
+
+    buf = io.BytesIO()
+    binary_io.write_records(buf, read_list)
+
+    def build(parallel):
+        cfg = AssemblyConfig(
+            engine="batch", rng_seed=0, parallel_commit=parallel,
+            max_seq_len=400_000,
+        )
+        reads = ReadStore(np.frombuffer(buf.getvalue(), np.uint8))
+        patterns = [dna.parse_pattern("1111111111111111")]
+        asm = BatchAssembler(cfg, reads, patterns)
+        from pacbioassembly_tpu.consensus import ConsensusRef
+
+        asm.ref = ConsensusRef(ref_codes, capacity=3 * 400_000)
+        work = [(i, [i]) for i in range(len(cand_rows))]
+        cands = CandidateBatch(
+            read=[r for r, _, _, _ in cand_rows],
+            j=[j for _, j, _, _ in cand_rows],
+            forward=[f for _, _, f, _ in cand_rows],
+            r_offset=[p for _, _, _, p in cand_rows],
+            rank=[0] * len(cand_rows),
+        )
+        nal, consumed = asm._commit_host(cands, work)
+        return asm, nal, consumed
+
+    asm_s, nal_s, cons_s = build(parallel=False)
+    asm_p, nal_p, cons_p = build(parallel=True)
+    assert nal_s == nal_p == len(cand_rows)
+    assert cons_s == cons_p
+    assert len(cons_s) == len(cand_rows)  # every candidate aligns
+    r_s, r_p = asm_s.ref, asm_p.ref
+    # growth extends [pre, post); beg/end collapse at the next evolve
+    assert (r_s.post - r_s.pre) == (r_p.post - r_p.pre) == L + 600
+    np.testing.assert_array_equal(r_s.buf[r_s.pre : r_s.post], r_p.buf[r_p.pre : r_p.post])
+    np.testing.assert_array_equal(
+        r_s.sel[r_s.pre : r_s.post], r_p.sel[r_p.pre : r_p.post]
+    )
+    np.testing.assert_array_equal(
+        r_s.total[r_s.pre : r_s.post], r_p.total[r_p.pre : r_p.post]
+    )
+    # determinism of the threaded path itself
+    asm_p2, _, cons_p2 = build(parallel=True)
+    assert cons_p2 == cons_p
+    np.testing.assert_array_equal(
+        asm_p.ref.buf[asm_p.ref.pre : asm_p.ref.post],
+        asm_p2.ref.buf[asm_p2.ref.pre : asm_p2.ref.post],
+    )
