@@ -299,8 +299,11 @@ def main() -> int:
         surviving = surviving if surviving is not None else list(range(len(reads)))
         consumed = len(reads) - len(surviving)
         rounds = sum(c.nrounds for c in contig_results)
-        retreats = -1  # per-assembler; not aggregated
-        dp_cells = 0   # per-assembler; not aggregated in multi-contig mode
+        # sentinel: retreats/dp_cells are per-assembler state that is not
+        # aggregated across multi-contig restarts; -1/0 mean "not tracked
+        # in this mode", NOT zero retreats (documented in summary too)
+        retreats = -1
+        dp_cells = 0
         for ci, c in enumerate(contig_results):
             with open(os.path.join(args.out, f"contig_{ci}.txt"), "w") as fh:
                 fh.write(dna.codes_to_text(c.codes) + "\n")
@@ -377,6 +380,11 @@ def main() -> int:
         "reads_consumed": consumed,
         "rounds": rounds,
         "retreats": retreats,
+        **(
+            {"retreats_note": "-1 = not tracked across multi-contig restarts"}
+            if retreats < 0
+            else {}
+        ),
         "contig_len": int(contig_lens[0]),
         "contig_lens": [int(x) for x in contig_lens],
         "residual_error": quality["residual_error"],

@@ -196,10 +196,11 @@ def _kernel(
         r = pltpu.roll(x, sh, axis=1)
         # The mask is provably redundant when words <= L - sh AND the
         # blocks don't share lanes (NB == 1): gen/prop are zero above the
-        # top live word, so the wrapped lanes bring in zeros. r2 kept the
-        # mask because dropping it inflated Mosaic compile 4.6s -> 63s for
-        # a +2% runtime win; with the persistent compile cache the compile
-        # is one-time, so r3 re-measures via PBTPU_BITWAVE_KSMASK=0.
+        # top live word, so the wrapped lanes bring in zeros. Measured at
+        # B=2048 (benchmarks/results/ks_ablation_r4.json): masked is 1.2%
+        # faster at runtime but compiles 162.8 s vs maskless 11.7 s.
+        # Masked stays the default (runtime recurs, compile is cached);
+        # PBTPU_BITWAVE_KSMASK=0 is the fast-compile iteration knob.
         if nb == 1 and words <= L - sh and not _KSMASK:
             return r
         return r & pltpu.bitcast(up_masks[sh], jnp.int32)

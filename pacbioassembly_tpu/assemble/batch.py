@@ -775,12 +775,21 @@ class BatchAssembler:
 
         cfg = self.cfg
         L = self.ref.length()
+        # disjointness bound for the two-thread split: every candidate
+        # comes from the boundary-only seedmap (window = max_read_len at
+        # each end, ref_seq.h:291-311) and an alignment reaches at most
+        # ~read_len*(1+ratio) cells past its seed, so each side's scatter
+        # region is <= `reach` cells from its own edge; the sides are
+        # provably disjoint only when L >= 2*reach (scales with the
+        # actual read set instead of the old fixed 100 kb threshold)
+        max_rd = int(self.reads.lengths.max()) if len(self.reads) else 0
+        reach = cfg.max_read_len + int(max_rd * (1.0 + cfg.ratio)) + 64
         if (
             not cfg.parallel_commit
             or self.ref.locked
             or self.dump is not None
             or cfg.quirk_stale_dp  # stale-DP emulation is order-sensitive
-            or L < 100_000
+            or L < 2 * reach
             or len(work) < 4
         ):
             return run(work)

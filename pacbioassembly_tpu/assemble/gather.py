@@ -147,7 +147,8 @@ def _mat_score(
     *, LA, LB, w_max, ratio, backend,
 ):
     """Fused materialize + score: ONE device dispatch and ONE packed
-    (B, 3) int32 fetch [accept, matlen_a, dp_rows] per screening launch —
+    (B, 4) int32 fetch [accept, matlen_a, dp_rows, matlen_b] per
+    screening launch —
     on a high-latency link (the axon tunnel's 30-300 ms per call) the
     round-trip count, not the DP, bounds the steady-state round."""
     a, la2, b, lb = _gather_batch(
