@@ -151,6 +151,9 @@ def main() -> int:
     ap.add_argument("--max-trial", type=int, default=32,
                     help="seeding trials per read per direction (-t)")
     ap.add_argument("--rng-seed", type=int, default=7)
+    ap.add_argument("--no-account", action="store_true",
+                    help="skip the surviving-read classification pass "
+                         "(multi-contig runs only)")
     args = ap.parse_args()
 
     if args.backend:
@@ -293,6 +296,20 @@ def main() -> int:
             if not surviving:
                 break
         wall = time.time() - t1
+        # containment dedup: restarts can re-assemble scraps of genome an
+        # earlier contig already covers; drop (self-contained, no genome
+        # truth) contigs >= 80% collinear with a larger one
+        from pacbioassembly_tpu.tools.postprocess import dedupe_contigs
+
+        kept, dropped_contained = dedupe_contigs(
+            [c.codes for c in contig_results]
+        )
+        if dropped_contained:
+            for d in dropped_contained:
+                d["len"] = len(contig_results[d["idx"]].codes)
+            log(f"dedup: dropped {len(dropped_contained)} contained "
+                f"contig(s): {dropped_contained}")
+            contig_results = [contig_results[i] for i in kept]
         contig_lens = sorted((len(c.codes) for c in contig_results), reverse=True)
         best = max(contig_results, key=lambda c: len(c.codes))
         best_codes = best.codes
@@ -314,9 +331,11 @@ def main() -> int:
         best_codes = asm.ref.text()
         contig_lens = [len(best_codes)]
         consumed = len(reads) - len(asm.surviving)
+        surviving = asm.surviving
         rounds = asm.nround
         retreats = asm.retreats
         dp_cells = asm.dp_cells_total
+        dropped_contained = []
 
     wall_cum, dp_cells_cum, steady = derive_cumulative(
         cfg.metrics_path, wall, dp_cells, single_contig=args.contigs == 1
@@ -368,6 +387,27 @@ def main() -> int:
         )
     assembly_residual = round(agg_cost / agg_len, 4) if agg_len else None
 
+    # full read-set accounting: classify every unconsumed read against
+    # the final contigs (mapped = its region IS assembled; seeded_only =
+    # seed hits but unalignable; unseedable = no seed trial occurs in any
+    # contig) so the summary accounts for 100% of the input reads
+    read_accounting = None
+    if args.contigs > 1 and not args.no_account and surviving:
+        from pacbioassembly_tpu.tools.postprocess import classify_reads
+
+        log(f"classifying {len(surviving)} surviving reads ...")
+        t_acc = time.time()
+        res = classify_reads(
+            all_contigs, [reads.codes(i) for i in surviving],
+            patterns[0], ratio=cfg.ratio,
+        )
+        read_accounting = {
+            k: res[k]
+            for k in ("total", "mapped", "seeded_only", "unseedable", "too_short")
+        }
+        read_accounting["classify_s"] = round(time.time() - t_acc, 1)
+        log(f"  {read_accounting}")
+
     summary = {
         "metric": "reads_aligned_per_s",
         "value": round(consumed / wall_cum, 2),
@@ -378,6 +418,13 @@ def main() -> int:
         "error_profile": args.error_profile,
         "n_reads": len(reads),
         "reads_consumed": consumed,
+        "reads_unconsumed": len(reads) - consumed,
+        **({"unconsumed_accounting": read_accounting} if read_accounting else {}),
+        **(
+            {"contigs_dropped_contained": dropped_contained}
+            if dropped_contained
+            else {}
+        ),
         "rounds": rounds,
         "retreats": retreats,
         **(

@@ -1222,6 +1222,7 @@ def assemble_contigs(
     patterns: list[int],
     n_contigs: int,
     log: Optional[TextIO] = None,
+    dedupe: bool = True,
 ) -> tuple[list[ContigResult], list[int]]:
     """Multi-contig assembly: run the batch engine to termination, then
     RESTART on the surviving reads with a fresh random initial read, until
@@ -1231,7 +1232,11 @@ def assemble_contigs(
     re-running with `-f` to continue (README.mkd:52-63, doc/final.tex:
     245-249 "restart from a saved sequence"); this automates that
     workflow. The trial-seed cache and the device-resident read matrix are
-    shared across restarts (they depend only on the read set). Returns
+    shared across restarts (they depend only on the read set). With
+    `dedupe` (default), contigs whose sequence is almost entirely
+    contained in a larger contig (tools/postprocess.py::dedupe_contigs —
+    restarts re-assembling scraps of already-covered sequence) are
+    dropped from the output; their reads stay consumed. Returns
     (contigs, surviving_read_rows)."""
     contigs: list[ContigResult] = []
     surviving: Optional[list[int]] = None
@@ -1277,4 +1282,16 @@ def assemble_contigs(
         del asm
         if not surviving:
             break
+    if dedupe and len(contigs) > 1:
+        from ..tools.postprocess import dedupe_contigs
+
+        kept, dropped = dedupe_contigs([c.codes for c in contigs])
+        if dropped and log:
+            for d in dropped:
+                log.write(
+                    f"=== dropping contig {d['idx']} "
+                    f"({len(contigs[d['idx']].codes)} bp): {d['covered']:.0%} "
+                    f"contained in contig {d['into']}\n"
+                )
+        contigs = [contigs[i] for i in kept]
     return contigs, surviving if surviving is not None else list(range(len(reads)))
