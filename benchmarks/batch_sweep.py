@@ -1,5 +1,9 @@
 """Batch-size sweep of the fused bitpallas dispatch: is 22 Gcells/s at
-B=256 launch-latency-bound? If so the rate scales with B."""
+B=256 launch-latency-bound? If so the rate scales with B.
+
+r5: extended to B=4096 (the real SCREEN_CHUNK, assemble/batch.py:48)
+and 8192, validating the r4 fit (wall ~ 24 ms + B * 12.5 us) past the
+knee or finding the HBM/VMEM limit (VERDICT r4 item 4)."""
 import json, sys, time
 import numpy as np
 import os
@@ -13,7 +17,7 @@ ratio = 0.3; LB = 2048
 W = 1 + int(LB*ratio); LA = LB + W + 1
 rng = np.random.default_rng(0)
 out = {}
-for B in (256, 512, 1024, 2048):
+for B in (256, 512, 1024, 2048, 4096, 8192):
     iters = 5
     batches = [bench.make_batch(rng, B, LA, LB) for _ in range(iters+1)]
     dev = [tuple(jax.device_put(x) for x in b[:4]) for b in batches]
