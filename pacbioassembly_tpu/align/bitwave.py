@@ -88,6 +88,12 @@ SL = int(os.environ.get("PBTPU_BITWAVE_SL", "128"))
 # them (0) — see the up() note in _kernel; experiment knob for VERDICT r2
 # item 5 (op-count cut in the carry resolution)
 _KSMASK = os.environ.get("PBTPU_BITWAVE_KSMASK", "1") != "0"
+# TIMING-ONLY ablation knob: cap the Kogge-Stone doubling depth at N
+# steps (0 = exact full depth). A truncated carry chain produces WRONG
+# alignments — the knob exists solely to measure what share of kernel
+# wall time the carry resolution actually costs (benchmarks/ks_depth.py,
+# VERDICT r4 item 5); never set it in production.
+_KSDEPTH = int(os.environ.get("PBTPU_BITWAVE_KSDEPTH", "0"))
 
 
 def _pick_sl(KA: int, PBL: int, L: int, NB: int) -> int:
@@ -214,11 +220,15 @@ def _kernel(
             pltpu.bitcast(s, jnp.int32) == jnp.int32(-1), jnp.int32(-1), 0
         )
         sh = 1
+        steps = 0
         while sh < words:
             gen = gen | (prop & up(gen, sh))
             if sh * 2 < words:
                 prop = prop & up(prop, sh)
             sh <<= 1
+            steps += 1
+            if _KSDEPTH and steps >= _KSDEPTH:
+                break  # timing-only truncation (see _KSDEPTH)
         cin = pltpu.bitcast(up(gen, 1), U32) & U32(1)
         return s + cin
 
