@@ -110,3 +110,37 @@ def test_assembly_step_runs_on_mesh(mesh):
     assert int(n_accept) == int(ok.sum())
     np.testing.assert_array_equal(np.asarray(scores.accept), np.asarray(single.accept))
     assert np.asarray(votes.sel).shape == (L, 4)
+
+
+def test_shard_sizes_balance_across_device_counts():
+    """The perf property a pod run needs that is measurable without
+    hardware (VERDICT r4 item 6): the engine pads every sharded screening
+    batch so each device receives EXACTLY the same row count (shard_map
+    P("dp") requires divisibility; imbalance would idle devices), and the
+    ladder padding overhead is bounded (< 2x above the per-device
+    quantum floor)."""
+    from pacbioassembly_tpu.align.screen import ladder_size
+
+    for n_dev in (2, 4, 8):
+        q = 64 * n_dev  # BatchAssembler._score's per-device quantum
+        for B in (1, 63, 64, 100, 511, 512, 1000, 4096, 5000):
+            Bp = ladder_size(B, q)
+            assert Bp % n_dev == 0, (n_dev, B, Bp)
+            per_dev = Bp // n_dev
+            assert per_dev % 64 == 0, "sublane-group quantum violated"
+            assert Bp >= B
+            assert Bp < 2 * max(B, q), f"padding overhead unbounded: {B}->{Bp}"
+
+
+def test_sharded_screen_per_device_shards_equal(mesh):
+    """The materialized sharding really places equal-size row blocks on
+    every device (addressable_shards inspection, 8-dev CPU mesh)."""
+    rng = np.random.default_rng(33)
+    cases = make_cases(rng, 64, max_len=48)
+    LA, LB, W = 56, 56, 20
+    A, las, Bm, lbs = pack(cases, LA, LB)
+    res = sharded_screen(mesh, A, las, Bm, lbs, la_max=LA, w_max=W, ratio=0.3)
+    shards = res.accept.addressable_shards
+    assert len(shards) == 8
+    sizes = sorted(s.data.shape[0] for s in shards)
+    assert sizes == [64 // 8] * 8, sizes
