@@ -15,6 +15,10 @@
 #include <vector>
 #include <algorithm>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int32_t kInf = INT32_C(1) << 30;
@@ -29,6 +33,7 @@ struct Arena {
   std::vector<int32_t> row_cur;
   std::vector<int32_t> col_costs;
   std::vector<uint8_t> parents;  // (len_a+1) x stripe_width
+  std::vector<uint8_t> bpad;     // b copy with SIMD overrun padding
 };
 
 thread_local Arena g_arena;
@@ -57,36 +62,113 @@ BandParams band_params(int la, int lb, double ratio, int maxn, int maxm) {
   return p;
 }
 
-}  // namespace
+#if defined(__AVX2__)
 
-extern "C" {
+// Lane-crossing left shift of x by N int32 positions, filling vacated
+// low lanes with `inf` (used by the in-vector prefix-min).
+template <int N>
+static inline __m256i shl_lanes_inf(__m256i x, __m256i inf) {
+  const __m256i idx = _mm256_setr_epi32(
+      (0 - N) & 7, (1 - N) & 7, (2 - N) & 7, (3 - N) & 7,
+      (4 - N) & 7, (5 - N) & 7, (6 - N) & 7, (7 - N) & 7);
+  const __m256i lanes = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+  __m256i sh = _mm256_permutevar8x32_epi32(x, idx);
+  __m256i low = _mm256_cmpgt_epi32(_mm256_set1_epi32(N), lanes);
+  return _mm256_blendv_epi8(sh, inf, low);
+}
 
-// Banded edit-distance alignment of code arrays a (len la) and b (len lb).
+// Vectorized DP row over the live band window [ks..k_hi] (j >= 1 cells).
 //
-// out_meta (int32[5]): {matlen_a, matlen_b, final_cost, nedit, diag_cost}
-// where diag_cost is cell (len_a, len_a) of the final row, or -1 when
-// len_a > len_b.
-// out_ops/out_vals (uint8[out_cap]): edit stream transforming a into b;
-// vals carries the b-side code for MATCH/INSERT edits.
-//
-// Returns: 1 success, 0 alignment rejected, -1 edit buffer too small,
-// -2 allocation failure.
-int pb_align(const uint8_t* a, int la, const uint8_t* b, int lb,
-             double ratio, int maxn, int maxm,
-             int32_t* out_meta, uint8_t* out_ops, uint8_t* out_vals,
-             int64_t out_cap) {
+// Exactly the scalar recurrence, reformulated so the serial in-row
+// INSERT chain cost[k] = min(cand[k], cost[k-1]+1) becomes
+//   cost[k] = k + min_{k' <= k} (cand[k'] - k')          (expansion)
+// i.e. a prefix-min in the t = cand - k domain, where
+// cand[k] = min(diag, up) and the chain is seeded with `t_seed` (the
+// j == 0 border cell when the window touches column 0, else +inf).
+// Parents follow from priority equality checks — cost == diag -> MATCH,
+// else cost == cost[k-1]+1 (<=> runm[k] == runm[k-1]) -> INSERT, else
+// DELETE — which reproduces the reference's strict-< tie order
+// MATCH > INSERT > DELETE (seq_aligner.h:161-173) for every reachable
+// cell: cost==diag can only hold when neither alternative was strictly
+// smaller, and cost==left+1 when INSERT won or tied DELETE.
+static inline void dp_row_avx2(const int32_t* prev, int32_t* cur,
+                               uint8_t* par_row, const uint8_t* bpad,
+                               int ks, int k_hi, int boff, int a_code,
+                               int32_t t_seed) {
+  const __m256i vinf = _mm256_set1_epi32(kInf);
+  const __m256i vone = _mm256_set1_epi32(1);
+  const __m256i vac = _mm256_set1_epi32(a_code);
+  const __m256i viota = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+  const __m256i bc7 = _mm256_set1_epi32(7);
+  __m256i carry = _mm256_set1_epi32(t_seed);
+  const __m256i vM = _mm256_set1_epi32(kParMatch);
+  const __m256i vI = _mm256_set1_epi32(kParInsert);
+  const __m256i vD = _mm256_set1_epi32(kParDelete);
+  for (int k = ks; k <= k_hi; k += 8) {
+    __m256i pv = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(prev + k));
+    __m256i pu = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(prev + k + 1));
+    __m256i bcode = _mm256_cvtepu8_epi32(
+        _mm_loadl_epi64(reinterpret_cast<const __m128i*>(bpad + k + boff)));
+    __m256i eq = _mm256_cmpeq_epi32(bcode, vac);
+    __m256i diag = _mm256_add_epi32(pv, _mm256_andnot_si256(eq, vone));
+    __m256i up = _mm256_add_epi32(pu, vone);
+    __m256i cand = _mm256_min_epi32(diag, up);
+    __m256i kv = _mm256_add_epi32(_mm256_set1_epi32(k), viota);
+    __m256i t = _mm256_sub_epi32(cand, kv);
+    // in-vector prefix-min, then fold in the running carry
+    __m256i p1 = _mm256_min_epi32(t, shl_lanes_inf<1>(t, vinf));
+    __m256i p2 = _mm256_min_epi32(p1, shl_lanes_inf<2>(p1, vinf));
+    __m256i p4 = _mm256_min_epi32(p2, shl_lanes_inf<4>(p2, vinf));
+    __m256i runm = _mm256_min_epi32(p4, carry);
+    // runm[k-1] per lane: shifted prefix with the carry in lane 0
+    __m256i runp = _mm256_min_epi32(shl_lanes_inf<1>(p4, vinf), carry);
+    carry = _mm256_permutevar8x32_epi32(runm, bc7);  // broadcast lane 7
+    __m256i cost = _mm256_add_epi32(runm, kv);
+    // parents: M if cost==diag, else I if runm==runm[k-1], else D
+    __m256i isM = _mm256_cmpeq_epi32(cost, diag);
+    __m256i isI = _mm256_cmpeq_epi32(runm, runp);
+    __m256i par = _mm256_blendv_epi8(vD, vI, isI);
+    par = _mm256_blendv_epi8(par, vM, isM);
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(cur + k), cost);
+    // pack 8 x int32 parents -> 8 bytes
+    __m128i lo = _mm256_castsi256_si128(par);
+    __m128i hi = _mm256_extracti128_si256(par, 1);
+    __m128i p16 = _mm_packs_epi32(lo, hi);
+    __m128i p8 = _mm_packus_epi16(p16, p16);
+    _mm_storel_epi64(reinterpret_cast<__m128i*>(par_row + k), p8);
+  }
+}
+#endif  // __AVX2__
+
+static int pb_align_core(const uint8_t* a, int la, const uint8_t* b, int lb,
+                         double ratio, int maxn, int maxm,
+                         int32_t* out_meta, uint8_t* out_ops,
+                         uint8_t* out_vals, int64_t out_cap, bool use_simd) {
   if (la <= 0 || lb <= 0) return 0;
   const BandParams p = band_params(la, lb, ratio, maxn, maxm);
   if (!p.ok) return 0;
   const int len_a = p.len_a, len_b = p.len_b, max_dst = p.max_dst;
   const int stripe = 2 * max_dst + 1;
+  const int pad = 16;  // SIMD overrun headroom on every row buffer
 
   Arena& ar = g_arena;
   try {
-    ar.row_prev.assign(stripe, kInf);
-    ar.row_cur.assign(stripe, kInf);
+    ar.row_prev.assign(stripe + pad, kInf);
+    ar.row_cur.assign(stripe + pad, kInf);
     ar.col_costs.assign(len_a + 1, kInf);
-    ar.parents.assign(static_cast<size_t>(len_a + 1) * stripe, kParNone);
+    // parents rows are fully written inside the live window before any
+    // traceback read (the walk provably stays in-window), so only row 0
+    // needs a defined state; skipping the full clear saves a multi-MB
+    // memset per call
+    ar.parents.resize(static_cast<size_t>(len_a + 1) * stripe + pad);
+    std::fill(ar.parents.begin(), ar.parents.begin() + stripe, kParNone);
+#if defined(__AVX2__)
+    if (use_simd) {
+      ar.bpad.resize(static_cast<size_t>(len_b) + 2 * pad);
+      std::memcpy(ar.bpad.data(), b, len_b);
+      std::memset(ar.bpad.data() + len_b, 0xFF, 2 * pad);
+    }
+#endif
   } catch (...) {
     return -2;
   }
@@ -109,29 +191,54 @@ int pb_align(const uint8_t* a, int la, const uint8_t* b, int lb,
     const int j_lo = std::max(0, i - max_dst);
     const int j_hi = std::min(len_b, i + max_dst);
     const int k_lo = j_lo - i + max_dst;
+    const int k_hi = j_hi - i + max_dst;
 
-    // Reset only the live window of cur.
-    std::fill(cur, cur + stripe, kInf);
+    // Reset the live window of cur (plus SIMD pad).
+    std::fill(cur, cur + stripe + pad, kInf);
 
-    int32_t running = kInf;  // best INSERT-chain source so far: cur[k-1]
-    for (int k = k_lo, j = j_lo; j <= j_hi; ++k, ++j) {
-      int32_t cost;
-      uint8_t par;
-      if (j == 0) {
-        cost = i;  // column-0 border
-        par = kParDelete;
-      } else {
-        const int32_t diag = prev[k] + (b[j - 1] != a_code ? 1 : 0);
-        const int32_t up = (k + 1 < stripe) ? prev[k + 1] + 1 : kInf;
-        const int32_t left = (running < kInf) ? running + 1 : kInf;
-        cost = diag;
-        par = kParMatch;
-        if (left < cost) { cost = left; par = kParInsert; }
-        if (up < cost) { cost = up; par = kParDelete; }
+#if defined(__AVX2__)
+    if (use_simd) {
+      int ks = k_lo;
+      int32_t t_seed = kInf;
+      if (j_lo == 0) {
+        // column-0 border cell, then seed the INSERT chain from it
+        cur[k_lo] = i;
+        par_row[k_lo] = kParDelete;
+        t_seed = i - k_lo;
+        ks = k_lo + 1;
       }
-      cur[k] = cost;
-      par_row[k] = par;
-      running = cost;
+      if (ks <= k_hi) {
+        // b index for stripe k is j-1 = k + (i - max_dst) - 1
+        dp_row_avx2(prev, cur, par_row, ar.bpad.data(),
+                    ks, k_hi, i - max_dst - 1, a_code, t_seed);
+        // overrun cells past k_hi were written with garbage costs; they
+        // must read as kInf next row (the pad region is read as prev[k+1])
+        for (int k = k_hi + 1; k < std::min(k_hi + 9, stripe + pad); ++k)
+          cur[k] = kInf;
+      }
+    } else
+#endif
+    {
+      int32_t running = kInf;  // best INSERT-chain source so far: cur[k-1]
+      for (int k = k_lo, j = j_lo; j <= j_hi; ++k, ++j) {
+        int32_t cost;
+        uint8_t par;
+        if (j == 0) {
+          cost = i;  // column-0 border
+          par = kParDelete;
+        } else {
+          const int32_t diag = prev[k] + (b[j - 1] != a_code ? 1 : 0);
+          const int32_t up = (k + 1 < stripe) ? prev[k + 1] + 1 : kInf;
+          const int32_t left = (running < kInf) ? running + 1 : kInf;
+          cost = diag;
+          par = kParMatch;
+          if (left < cost) { cost = left; par = kParInsert; }
+          if (up < cost) { cost = up; par = kParDelete; }
+        }
+        cur[k] = cost;
+        par_row[k] = par;
+        running = cost;
+      }
     }
 
     const int k_col = len_b - i + max_dst;
@@ -205,6 +312,46 @@ int pb_align(const uint8_t* a, int la, const uint8_t* b, int lb,
   out_meta[3] = static_cast<int32_t>(n);
   out_meta[4] = diag_cost;
   return 1;
+}
+
+}  // namespace
+
+// Banded edit-distance alignment of code arrays a (len la) and b (len lb).
+//
+// out_meta (int32[5]): {matlen_a, matlen_b, final_cost, nedit, diag_cost}
+// where diag_cost is cell (len_a, len_a) of the final row, or -1 when
+// len_a > len_b.
+// out_ops/out_vals (uint8[out_cap]): edit stream transforming a into b;
+// vals carries the b-side code for MATCH/INSERT edits.
+//
+// Returns: 1 success, 0 alignment rejected, -1 edit buffer too small,
+// -2 allocation failure.
+//
+// Uses the AVX2 row kernel when compiled in (identical outputs — the
+// scalar row stays available as pb_align_scalar and is differential-
+// fuzzed against the SIMD path by tests/test_aligner.py).
+extern "C" int pb_align(const uint8_t* a, int la, const uint8_t* b, int lb,
+                        double ratio, int maxn, int maxm,
+                        int32_t* out_meta, uint8_t* out_ops,
+                        uint8_t* out_vals, int64_t out_cap) {
+#if defined(__AVX2__)
+  const bool simd = true;
+#else
+  const bool simd = false;
+#endif
+  return pb_align_core(a, la, b, lb, ratio, maxn, maxm, out_meta, out_ops,
+                       out_vals, out_cap, simd);
+}
+
+// Reference scalar row loop (the form differential-tested against
+// align/banded.py since r1); kept exported so the SIMD path can be
+// fuzzed against it in-process.
+extern "C" int pb_align_scalar(const uint8_t* a, int la, const uint8_t* b,
+                               int lb, double ratio, int maxn, int maxm,
+                               int32_t* out_meta, uint8_t* out_ops,
+                               uint8_t* out_vals, int64_t out_cap) {
+  return pb_align_core(a, la, b, lb, ratio, maxn, maxm, out_meta, out_ops,
+                       out_vals, out_cap, false);
 }
 
 // ---------------------------------------------------------------------------
@@ -386,6 +533,8 @@ extern "C" void pb_quirk_reset() {
   g_quirk.rows = 0;
   g_quirk.maxm = 0;
 }
+
+extern "C" {
 
 // Walk the [u32 len][ceil(len/4) bytes] record chain of a file buffer.
 // Returns the record count; fills offsets/lengths up to cap entries.

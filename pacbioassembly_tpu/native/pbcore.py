@@ -69,6 +69,9 @@ def load(optional: bool = False) -> Optional[ctypes.CDLL]:
     ]
     lib.pb_align_quirk.restype = ctypes.c_int
     lib.pb_align_quirk.argtypes = lib.pb_align.argtypes
+    # reference scalar row loop, exported for SIMD differential fuzzing
+    lib.pb_align_scalar.restype = ctypes.c_int
+    lib.pb_align_scalar.argtypes = lib.pb_align.argtypes
     lib.pb_quirk_reset.restype = None
     lib.pb_quirk_reset.argtypes = []
     lib.pb_scan_records.restype = ctypes.c_int64
@@ -99,6 +102,7 @@ def align(
     maxn: int = Constants.ALIGNER_MAXN,
     maxm: int = Constants.ALIGNER_MAXM,
     quirk: bool = False,
+    scalar: bool = False,
 ) -> Optional[AlignResult]:
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
@@ -106,7 +110,11 @@ def align(
     meta = np.zeros(5, dtype=np.int32)
     ops = np.empty(cap, dtype=np.uint8)
     vals = np.empty(cap, dtype=np.uint8)
-    fn = lib.pb_align_quirk if quirk else lib.pb_align
+    fn = (
+        lib.pb_align_quirk
+        if quirk
+        else (lib.pb_align_scalar if scalar else lib.pb_align)
+    )
     rc = fn(
         _u8ptr(a), len(a), _u8ptr(b), len(b),
         ctypes.c_double(ratio), maxn, maxm,

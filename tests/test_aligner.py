@@ -158,3 +158,42 @@ def test_numpy_native_identical_on_real_pairs(real_align_pairs):
             np.testing.assert_array_equal(r1.ops, r2.ops)
             sel = r1.ops != DELETE
             np.testing.assert_array_equal(r1.vals[sel], r2.vals[sel])
+
+
+def test_simd_scalar_differential_fuzz():
+    """pb_align's AVX2 row kernel must produce byte-identical outputs
+    (rc, meta, edit stream) to the reference scalar row loop — the
+    min-plus prefix-scan reformulation and the equality-derived parents
+    (pbcore.cpp dp_row_avx2) are exact, not approximate. Covers both
+    geometry regimes (len_a vs len_b), all ratio tiers, and near-random
+    pairs that exercise rejection + early failure."""
+    lib = pbcore.load()
+    rng = np.random.default_rng(1234)
+    n_accept = 0
+    for trial in range(300):
+        la = int(rng.integers(1, 500))
+        lb = int(rng.integers(1, 500))
+        ratio = float(rng.choice([0.1, 0.15, 0.3, 0.5]))
+        if rng.random() < 0.5:
+            src = rng.integers(0, 4, max(la, lb)).astype(np.uint8)
+            a, b = src[:la].copy(), src[:lb].copy()
+            for arr in (a, b):
+                npos = int(len(arr) * rng.random() * 0.3)
+                pos = rng.choice(len(arr), npos, replace=False)
+                arr[pos] = (arr[pos] + rng.integers(1, 4, npos)) % 4
+        else:
+            a = rng.integers(0, 4, la).astype(np.uint8)
+            b = rng.integers(0, 4, lb).astype(np.uint8)
+        r1 = pbcore.align(lib, a, b, ratio)
+        r2 = pbcore.align(lib, a, b, ratio, scalar=True)
+        if r1 is None:
+            assert r2 is None, (trial, la, lb, ratio)
+            continue
+        assert r2 is not None, (trial, la, lb, ratio)
+        n_accept += 1
+        assert (r1.matlen_a, r1.matlen_b, r1.cost, r1.diag_cost) == (
+            r2.matlen_a, r2.matlen_b, r2.cost, r2.diag_cost
+        ), (trial, la, lb, ratio)
+        np.testing.assert_array_equal(r1.ops, r2.ops)
+        np.testing.assert_array_equal(r1.vals, r2.vals)
+    assert n_accept > 30  # the fuzz must exercise real accepted paths
