@@ -20,7 +20,7 @@ first-success selection is order-preserving.
 from __future__ import annotations
 
 import sys
-from typing import Iterable, TextIO
+from typing import Iterable, Optional, TextIO
 
 import numpy as np
 
@@ -153,12 +153,20 @@ def locate_batched(
     pattern: int,
     seqs: Iterable[np.ndarray],
     ratio: float,
-    out: TextIO = sys.stdout,
-    log: TextIO = sys.stderr,
+    out: Optional[TextIO] = None,
+    log: Optional[TextIO] = None,
 ) -> int:
     """Batched-device equivalent of the locator main loop. `seqs` are ALL
     stdin words as code arrays; reads under 500 bp are skipped without
-    counting (locator.cpp:72)."""
+    counting (locator.cpp:72).
+
+    out/log default to the CURRENT sys.stdout/sys.stderr at call time —
+    an import-time `out=sys.stdout` default freezes whatever stream object
+    exists when this module is first imported, which silently bypasses
+    stream redirection done later (pytest capsys exposed this when a new
+    test module started importing us at collection time)."""
+    out = sys.stdout if out is None else out
+    log = sys.stderr if log is None else log
     rows, nproc = map_reads(contig_codes, pattern, seqs, ratio)
     for nseq, pos, c, ln, dg in rows:
         out.write(f"{nseq}\t{pos}\t{c}\t{ln}\t{dg}\n")
