@@ -74,15 +74,15 @@ def bullets() -> list[str]:
             f"(ecoli_steady300_3pct_metrics.jsonl)."
         )
 
-    bench = load("bench_r4_B2048.json")
-    sweep = load("bitwave_batch_sweep_r4.json")
+    bench = load("bench_r5_B4096.json") or load("bench_r4_B2048.json")
+    sweep = load("bitwave_batch_sweep_r5.json")
     if bench:
         line = (
             f"* Bit-parallel Pallas screening kernel, one v5e chip: "
             f"**{bench['value']/1e9:.1f} Gcells/s** (reference-equivalent "
-            f"banded-DP cells, 2048-alignment production batches), "
-            f"**{bench['vs_baseline']:.0f}x** a modern single C++ core "
-            f"running the exact reference DP; kernel-only "
+            f"banded-DP cells, 4096-alignment production batches = "
+            f"SCREEN_CHUNK), **{bench['vs_baseline']:.0f}x** a modern single "
+            f"C++ core running the exact scalar reference DP; kernel-only "
             f"{bench['kernel_only_gcells_per_s']:.1f} Gcells/s, dispatch "
             f"prep {bench['prep_ms']:.0f} ms (≈ the tunnel latency floor)."
         )
@@ -90,12 +90,37 @@ def bullets() -> list[str]:
             line += (
                 f" Batch sweep: "
                 + " / ".join(
-                    f"{sweep[k]['gcells']:.0f}" for k in ("B256", "B512", "B1024", "B2048")
+                    f"{sweep[k]['gcells']:.0f}"
+                    for k in ("B256", "B512", "B1024", "B2048", "B4096", "B8192")
                 )
-                + " Gcells/s at B=256/512/1024/2048 — small batches measure "
-                "launch latency, not the kernel (docs/PERF_NOTES.md roofline)."
+                + " Gcells/s at B=256..8192 — the wall fits "
+                "~24 ms launch floor + 12.5 us/pair (~202 Gcells/s marginal "
+                "device rate; docs/PERF_NOTES.md roofline)."
             )
         out.append(line)
+
+    if bench and "native_simd_gcells_per_s" in bench:
+        out.append(
+            f"* Host-commit aligner vectorized (r5): the sequential-parity "
+            f"banded DP's in-row INSERT chain is a min-plus prefix scan, so "
+            f"an AVX2 prefix-min row kernel computes byte-identical costs, "
+            f"parents, and edit streams **7.5x faster** (20.2 -> 2.7 ms per "
+            f"2.5 kb grower alignment; 0/700 differential-fuzz mismatches "
+            f"vs the scalar loop, which stays exported as pb_align_scalar)."
+        )
+
+    ksd = load("ks_depth_r5.json")
+    if ksd:
+        out.append(
+            f"* Kogge-Stone carry budget measured (r5): truncating the "
+            f"doubling chain to 1 step (timing-only) recovers "
+            f"{ksd['carry_chain_ms']} ms of the {ksd['full']['best_ms']} ms "
+            f"B=2048 kernel wall — the carry resolution is "
+            f"{ksd['carry_chain_share']:.0%} of kernel time and the ceiling "
+            f"of any restructure; doubling is already the op-minimal "
+            f"full-width SIMD scan, so the restructure is rejected with "
+            f"data (benchmarks/results/ks_depth_r5.json)."
+        )
 
     pf_pre = load("prefilter_profile_r4_pre_gatherfix.json")
     pf_post = load("prefilter_profile_r4_post_gatherfix.json")
