@@ -74,6 +74,20 @@ def bullets() -> list[str]:
             f"(ecoli_steady300_3pct_metrics.jsonl)."
         )
 
+    st5 = load("ecoli_steady_r5_simd_commit_summary.json")
+    if st5:
+        out.append(
+            f"* r5 engine (AVX2 host commits), same trajectory resumed at "
+            f"round 380: **{st5['round_s_p50_compile_free']:.2f} s/round p50 "
+            f"/ {st5['round_s_p95_compile_free']:.2f} s p95** over its "
+            f"{st5['compile_free_rounds']} compile-free rounds — host_commit "
+            f"{st5['host_commit_s_p50']:.3f} s p50 (was 0.915), "
+            f"{st5['ms_per_host_align']} ms per grower alignment (was 18.8) "
+            f"— and **{st5['steady_reads_per_s_compile_free']:.1f} reads/s "
+            f"steady**, retiring the r2 '≥30 reads/s' target as stated "
+            f"(ecoli_steady_r5_simd_commit_metrics.jsonl)."
+        )
+
     bench = load("bench_r5_B4096.json") or load("bench_r4_B2048.json")
     sweep = load("bitwave_batch_sweep_r5.json")
     if bench:
