@@ -192,11 +192,9 @@ def bench_native_baseline(batch, max_pairs=8):
 
     lib = pbcore.load()
     _, la, _, lb, pairs = batch
-    t0 = time.time()
     cells = 0
     ratio = 0.3
     for (aa, bb) in pairs[:max_pairs]:
-        pbcore.align(lib, aa, bb, ratio, scalar=True)
         x, y = len(aa), len(bb)
         if y >= x:
             len_a = x
@@ -205,14 +203,25 @@ def bench_native_baseline(batch, max_pairs=8):
             md = 1 + int(y * ratio)
             len_a = min(x, y + md)
         cells += len_a * (2 * md + 1)
-    dt = time.time() - t0
+
+    def timed_pass(scalar):
+        # best-of-3: a transiently contended host (e.g. a concurrent test
+        # suite) depresses a single pass, which would INFLATE vs_baseline
+        # — min over passes is the least-contended capability measurement,
+        # same discipline as the TPU side's min-of-N.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for (aa, bb) in pairs[:max_pairs]:
+                pbcore.align(lib, aa, bb, ratio, scalar=scalar)
+            best = min(best, time.time() - t0)
+        return best
+
+    dt = timed_pass(scalar=True)
     rate = cells / dt
-    log(f"native C++ single-core (scalar): {rate/1e9:.3f} Gcells/s "
+    log(f"native C++ single-core (scalar, best-of-3): {rate/1e9:.3f} Gcells/s "
         f"({dt*1000:.0f}ms for {max_pairs} alignments)")
-    t0 = time.time()
-    for (aa, bb) in pairs[:max_pairs]:
-        pbcore.align(lib, aa, bb, ratio)
-    simd_rate = cells / (time.time() - t0)
+    simd_rate = cells / timed_pass(scalar=False)
     log(f"native C++ single-core (AVX2, the production host-commit path): "
         f"{simd_rate/1e9:.3f} Gcells/s")
     return rate, simd_rate
